@@ -1,0 +1,252 @@
+"""Differentiable ray-batch volume renderer.
+
+TPU-native redesign of the reference renderer
+(ref: src/utils/Renderer.py:110-327): one jit-compiled pure function
+``render_rays`` that fuses near/far computation, stratified + surface-band
+sampling, scene query (decoders + attentive TSDF fusion), and sigmoid-
+occupancy compositing. Everything is shape-static; the reference's dynamic
+point splitting / chunking disappears because XLA tiles the fused batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attentive_dfprior_tpu.models.decoders import df_forward
+from attentive_dfprior_tpu.ops.compositing import raw2outputs
+from attentive_dfprior_tpu.ops.rays import (
+    get_rays_full_image,
+    ray_bound_intersection,
+    sample_pdf,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (ref: configs/df_prior.yaml:93-98)."""
+
+    N_samples: int = 32
+    N_surface: int = 16
+    N_importance: int = 0
+    lindisp: bool = False
+    perturb: float = 0.0
+    occupancy: bool = True
+
+
+def make_z_vals(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    bound: jnp.ndarray,
+    rcfg: RenderConfig,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Per-ray sample depths: stratified near->far + surface band, sorted.
+
+    Matches the reference's sampling scheme (ref: Renderer.py:140-221):
+      - near = 0.01 * gt_depth
+      - far  = clamp(bound-exit + 0.01, 0, max(gt_depth) * 1.2)
+      - N_samples stratified in [near, far]
+      - N_surface in [0.95 d, 1.05 d] for d > 0; uniform [1e-3, max depth]
+        for d == 0 (so zero-depth pixels still supervise color).
+
+    Returns:
+        (R, N_samples + N_surface) sorted z values.
+    """
+    R = rays_o.shape[0]
+    gt_depth = gt_depth.reshape(R)
+
+    far_bb = ray_bound_intersection(
+        jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d), bound
+    ) + 0.01  # (R,)
+    max_depth = jnp.max(gt_depth)
+    far = jnp.clip(far_bb, 0.0, max_depth * 1.2)[:, None]  # (R, 1)
+    near = (gt_depth * 0.01)[:, None]
+
+    t = jnp.linspace(0.0, 1.0, rcfg.N_samples, dtype=rays_o.dtype)
+    if not rcfg.lindisp:
+        z_vals = near * (1.0 - t) + far * t  # (R, N_samples)
+    else:
+        z_vals = 1.0 / (1.0 / jnp.maximum(near, 1e-6) * (1.0 - t) + 1.0 / far * t)
+
+    if rcfg.perturb > 0.0 and key is not None:
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * t_rand
+
+    if rcfg.N_surface > 0:
+        ts = jnp.linspace(0.0, 1.0, rcfg.N_surface, dtype=rays_o.dtype)
+        d = gt_depth[:, None]
+        z_surf_pos = 0.95 * d * (1.0 - ts) + 1.05 * d * ts
+        z_surf_zero = 0.001 * (1.0 - ts) + max_depth * ts  # (N_surface,)
+        z_surf = jnp.where(d > 0, z_surf_pos, z_surf_zero[None, :])
+        z_vals = jnp.sort(jnp.concatenate([z_vals, z_surf], axis=-1), axis=-1)
+
+    return z_vals
+
+
+def render_rays(
+    params: Dict[str, Any],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    tsdf_volume: jnp.ndarray,
+    tsdf_bnds: jnp.ndarray,
+    bound: jnp.ndarray,
+    stage: str,
+    rcfg: RenderConfig,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Render a batch of rays (ref: Renderer.py:110-255).
+
+    Args:
+        params: scene pytree ({grids..., decoders...}).
+        rays_o / rays_d: (R, 3). gt_depth: (R,) sensor depth (0 = no reading).
+        stage: 'low' | 'high' | 'color' (static).
+
+    Returns:
+        depth (R,), depth_var (R,), color (R, 3), att_weight (R, S).
+    """
+    z_vals = make_z_vals(rays_o, rays_d, gt_depth, bound, rcfg, key)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # (R,S,3)
+    R, S = z_vals.shape
+    flat = pts.reshape(-1, 3)
+
+    raw, att_w = df_forward(
+        params, flat, params, tsdf_volume, tsdf_bnds, bound, stage=stage
+    )
+
+    # Out-of-bound points get occupancy 100 -> opaque wall at the bound
+    # (ref: Renderer.py:49-64).
+    inside = jnp.all((flat > bound[:, 0]) & (flat < bound[:, 1]), axis=-1)
+    occ = jnp.where(inside, raw[:, 3], 100.0)
+    raw = jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
+
+    raw = raw.reshape(R, S, 4)
+    att_w = att_w.reshape(R, S)
+
+    depth, depth_var, color, weights = raw2outputs(
+        raw, z_vals, rays_d, occupancy=rcfg.occupancy
+    )
+
+    if rcfg.N_importance > 0:
+        # Importance resampling. NOTE: the reference re-evaluates the *old*
+        # points here (ref: Renderer.py:235-252 — dead code under
+        # N_importance=0); we evaluate the resampled points, which is the
+        # intended behavior.
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        ikey = key if key is not None else jax.random.PRNGKey(0)
+        z_samples = sample_pdf(
+            ikey, z_mid, weights[..., 1:-1], rcfg.N_importance, det=(rcfg.perturb == 0.0)
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        pts2 = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
+        flat2 = pts2.reshape(-1, 3)
+        raw2, att_w2 = df_forward(
+            params, flat2, params, tsdf_volume, tsdf_bnds, bound, stage=stage
+        )
+        inside2 = jnp.all((flat2 > bound[:, 0]) & (flat2 < bound[:, 1]), axis=-1)
+        occ2 = jnp.where(inside2, raw2[:, 3], 100.0)
+        raw2 = jnp.concatenate([raw2[:, :3], occ2[:, None]], axis=-1)
+        S2 = S + rcfg.N_importance
+        depth, depth_var, color, _ = raw2outputs(
+            raw2.reshape(R, S2, 4), z_all, rays_d, occupancy=rcfg.occupancy
+        )
+        att_w = att_w2.reshape(R, S2)
+
+    return depth, depth_var, color, att_w
+
+
+class Renderer:
+    """Convenience wrapper holding static config + jitted stage functions.
+
+    Mirrors the reference Renderer class surface (render_batch_ray /
+    render_img) for users of the framework; internally it's a thin cache of
+    jit-compiled ``render_rays`` partials.
+    """
+
+    def __init__(
+        self,
+        rcfg: RenderConfig,
+        bound: np.ndarray,
+        tsdf_bnds: np.ndarray,
+        cam,
+        ray_batch_size: int = 10000,
+    ):
+        self.rcfg = rcfg
+        self.bound = jnp.asarray(bound, dtype=jnp.float32)
+        self.tsdf_bnds = jnp.asarray(tsdf_bnds, dtype=jnp.float32)
+        self.cam = cam
+        self.ray_batch_size = ray_batch_size
+        self._jitted = {}
+
+    def _fn(self, stage: str):
+        if stage not in self._jitted:
+            self._jitted[stage] = jax.jit(
+                functools.partial(render_rays, stage=stage, rcfg=self.rcfg)
+            )
+        return self._jitted[stage]
+
+    def render_batch_ray(
+        self, params, rays_o, rays_d, gt_depth, tsdf_volume, stage: str
+    ):
+        """(ref: Renderer.py:110-255)"""
+        return self._fn(stage)(
+            params,
+            jnp.asarray(rays_o),
+            jnp.asarray(rays_d),
+            jnp.asarray(gt_depth),
+            tsdf_volume,
+            self.tsdf_bnds,
+            self.bound,
+        )
+
+    def render_img(
+        self, params, c2w, tsdf_volume, stage: str = "color", gt_depth=None
+    ):
+        """Render full depth/var/color images, chunked (ref: Renderer.py:258-327).
+
+        The last chunk is padded to the static chunk size so only one
+        executable is compiled.
+        """
+        cam = self.cam
+        rays_o, rays_d = get_rays_full_image(
+            cam.H, cam.W, cam.fx, cam.fy, cam.cx, cam.cy, jnp.asarray(c2w)
+        )
+        rays_o = rays_o.reshape(-1, 3)
+        rays_d = rays_d.reshape(-1, 3)
+        n = rays_o.shape[0]
+        if gt_depth is None:
+            gt = jnp.zeros((n,), dtype=jnp.float32)
+        else:
+            gt = jnp.asarray(gt_depth).reshape(-1)
+
+        bs = self.ray_batch_size
+        fn = self._fn(stage)
+        depths, uncs, colors = [], [], []
+        for i in range(0, n, bs):
+            sl = slice(i, min(i + bs, n))
+            m = sl.stop - sl.start
+            pad = bs - m
+            ro = jnp.pad(rays_o[sl], ((0, pad), (0, 0)), constant_values=1.0)
+            rd = jnp.pad(rays_d[sl], ((0, pad), (0, 0)), constant_values=1.0)
+            gd = jnp.pad(gt[sl], (0, pad))
+            d, u, c, _ = fn(
+                params, ro, rd, gd, tsdf_volume, self.tsdf_bnds, self.bound
+            )
+            depths.append(d[:m])
+            uncs.append(u[:m])
+            colors.append(c[:m])
+        depth = jnp.concatenate(depths).reshape(cam.H, cam.W)
+        unc = jnp.concatenate(uncs).reshape(cam.H, cam.W)
+        color = jnp.concatenate(colors).reshape(cam.H, cam.W, 3)
+        return depth, unc, color

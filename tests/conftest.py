@@ -1,0 +1,26 @@
+"""Test harness config: run JAX on CPU with 8 virtual devices so sharding
+tests exercise multi-chip code paths without a TPU pod (SURVEY §4).
+
+The session environment pins JAX_PLATFORMS=axon (a remote-TPU tunnel) and a
+sitecustomize module imports jax at interpreter start, so jax's config has
+already latched the env var by the time pytest runs. We therefore override
+via jax.config.update (valid until the first backend initialization).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}"
+)
+assert jax.device_count() >= 8, "expected 8 virtual CPU devices for sharding tests"
