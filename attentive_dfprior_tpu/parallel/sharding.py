@@ -1,0 +1,95 @@
+"""Multi-chip scaling: ray-axis data parallelism over a device mesh.
+
+The reference is strictly single-GPU (SURVEY §2.3); this module is the
+framework's scale-out design, following the standard JAX recipe: pick a mesh,
+annotate shardings, let XLA insert the collectives.
+
+Strategy (matches BASELINE.json's north star):
+  - the ray/pixel batch axis is sharded across the ``dp`` mesh axis,
+  - feature grids + decoder params are replicated,
+  - the scalar loss / parameter gradients are combined by the psum XLA
+    inserts when reducing over the sharded axis (riding ICI),
+  - tracking's 7-DoF pose optimization uses the same scheme — each chip
+    renders its ray shard and the pose gradient is psum'd.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from attentive_dfprior_tpu.camera import Camera
+from attentive_dfprior_tpu.ops.adam import adam_update
+from attentive_dfprior_tpu.render.renderer import RenderConfig
+from attentive_dfprior_tpu.slam.mapper import StageLRs, build_lr_tree, mapping_loss_fn
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "dp") -> Mesh:
+    """1-D device mesh over all (or the given) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_rays(mesh: Mesh, *arrays, axis: str = "dp"):
+    """Place ray-batch arrays sharded along their leading axis."""
+    sh = NamedSharding(mesh, P(axis))
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def replicate(mesh: Mesh, tree: Any):
+    """Fully replicate a pytree across the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stage", "rcfg", "fix_flags", "w_color_loss"),
+    donate_argnums=(0, 1),
+)
+def sharded_mapping_step(
+    params: Any,
+    adam_state: Any,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    gt_color: jnp.ndarray,
+    inside_mask: jnp.ndarray,
+    tsdf_volume: jnp.ndarray,
+    tsdf_bnds: jnp.ndarray,
+    bound: jnp.ndarray,
+    lrs: StageLRs,
+    stage: str,
+    rcfg: RenderConfig,
+    fix_flags: Tuple[bool, bool],
+    w_color_loss: float,
+):
+    """One data-parallel mapping optimization step.
+
+    Inputs arrive sharded over the ray axis (see ``shard_rays``); params are
+    replicated. jax.grad of the sum-loss over sharded rays makes XLA insert
+    the gradient all-reduce automatically — no explicit collectives needed.
+
+    Returns (params, adam_state, loss).
+    """
+    from attentive_dfprior_tpu.models.scene import SceneConfig
+
+    fix_high, fix_color = fix_flags
+    scfg = SceneConfig(
+        bound=np.zeros((3, 2)), c_dim=0, low_grid_len=0, high_grid_len=0,
+        color_grid_len=0, fix_high=fix_high, fix_color=fix_color,
+    )
+    lr_tree = build_lr_tree(params, lrs, scfg)
+    w_reg = jnp.asarray(0.0)
+    loss, grads = jax.value_and_grad(mapping_loss_fn)(
+        params, rays_o, rays_d, gt_depth, gt_color, inside_mask,
+        tsdf_volume, tsdf_bnds, bound, stage, rcfg, w_color_loss, w_reg,
+    )
+    params, adam_state = adam_update(params, grads, adam_state, lr_tree)
+    return params, adam_state, loss

@@ -1,0 +1,259 @@
+"""Tracker: per-frame camera pose optimization by differentiable re-rendering.
+
+TPU-native redesign of the reference Tracker (ref: src/Tracker.py:20-274):
+the 10/50-iteration Adam loop over a quaternion+translation camera tensor is
+one jit-compiled ``lax.scan`` — pixel sampling, rendering, robust loss,
+backward (wrt the 7-DoF pose only), Adam step, and best-candidate selection
+all fused on device. The reference's two-process shared-tensor handoff
+becomes an explicit scene-parameter snapshot argument.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attentive_dfprior_tpu.camera import Camera
+from attentive_dfprior_tpu.ops.adam import AdamState, adam_init, adam_update
+from attentive_dfprior_tpu.ops.pose import (
+    homogenize,
+    pose_matrix_from_tensor,
+    pose_tensor_from_matrix,
+)
+from attentive_dfprior_tpu.ops.rays import get_samples, ray_bound_intersection
+from attentive_dfprior_tpu.render.renderer import RenderConfig, render_rays
+
+
+def tracking_loss_fn(
+    camera_tensor: jnp.ndarray,
+    params: Any,
+    color_im: jnp.ndarray,
+    depth_im: jnp.ndarray,
+    key: jax.Array,
+    tsdf_volume: jnp.ndarray,
+    tsdf_bnds: jnp.ndarray,
+    bound: jnp.ndarray,
+    cam: Camera,
+    rcfg: RenderConfig,
+    batch_size: int,
+    ignore_edge_W: int,
+    ignore_edge_H: int,
+    handle_dynamic: bool,
+    use_color: bool,
+    w_color_loss: float,
+) -> jnp.ndarray:
+    """One tracking iteration's loss (ref: src/Tracker.py:75-134).
+
+    Renders `batch_size` rays at the pose given by ``camera_tensor`` and
+    computes the uncertainty-normalized depth L1 with the dynamic-pixel
+    rejection mask (err < 10 * median), plus optional color L1.
+    """
+    c2w = pose_matrix_from_tensor(camera_tensor)  # (3, 4), differentiable
+    H, W = cam.H, cam.W
+    ro, rd, gd, gc = get_samples(
+        key,
+        ignore_edge_H,
+        H - ignore_edge_H,
+        ignore_edge_W,
+        W - ignore_edge_W,
+        batch_size,
+        cam.fx,
+        cam.fy,
+        cam.cx,
+        cam.cy,
+        c2w,
+        depth_im,
+        color_im,
+    )
+    # in-bound filter as loss mask (ref: Tracker.py:100-110)
+    t = ray_bound_intersection(
+        jax.lax.stop_gradient(ro), jax.lax.stop_gradient(rd), bound
+    )
+    inside = t >= gd
+
+    depth, var, color, _ = render_rays(
+        params, ro, rd, gd, tsdf_volume, tsdf_bnds, bound, "color", rcfg
+    )
+    var = jax.lax.stop_gradient(var)
+    err = jnp.abs(gd - depth) / jnp.sqrt(var + 1e-10)
+    if handle_dynamic:
+        # median over the valid set; use where-masked median approximation:
+        # the reference takes the median of ALL rendered rays' err
+        # (ref: Tracker.py:118-119 median over tmp of the filtered batch).
+        med = jax.lax.stop_gradient(
+            jnp.nanmedian(jnp.where(inside, err, jnp.nan))
+        )
+        med = jnp.nan_to_num(med, nan=jnp.inf)
+        mask = (err < 10 * med) & (gd > 0) & inside
+    else:
+        mask = (gd > 0) & inside
+    loss = jnp.sum(err * mask)
+    if use_color:
+        loss = loss + w_color_loss * jnp.sum(jnp.abs(gc - color) * mask[:, None])
+    return loss
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam",
+        "rcfg",
+        "batch_size",
+        "n_iters",
+        "ignore_edge_W",
+        "ignore_edge_H",
+        "handle_dynamic",
+        "use_color",
+        "w_color_loss",
+        "cam_lr",
+    ),
+)
+def track_frame(
+    params: Any,
+    init_camera_tensor: jnp.ndarray,
+    color_im: jnp.ndarray,
+    depth_im: jnp.ndarray,
+    tsdf_volume: jnp.ndarray,
+    tsdf_bnds: jnp.ndarray,
+    bound: jnp.ndarray,
+    key: jax.Array,
+    cam: Camera,
+    rcfg: RenderConfig,
+    batch_size: int,
+    n_iters: int,
+    ignore_edge_W: int,
+    ignore_edge_H: int,
+    handle_dynamic: bool,
+    use_color: bool,
+    w_color_loss: float,
+    cam_lr: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Optimize the camera tensor for one frame; return the best candidate.
+
+    Candidate selection matches the reference exactly (ref: Tracker.py:239-261):
+    the recorded candidate is the post-step tensor whose *pre-step* loss was
+    minimal.
+
+    Returns:
+        best_camera_tensor (7,), losses (n_iters,), final_tensor (7,).
+    """
+    cam_params = {"cam": init_camera_tensor}
+    astate = adam_init(cam_params)
+    lr_tree = {"cam": cam_lr}
+    keys = jax.random.split(key, n_iters)
+
+    def one_iter(carry, k):
+        cam_p, ast, best_loss, best_tensor = carry
+        loss, grads = jax.value_and_grad(tracking_loss_fn)(
+            cam_p["cam"],
+            params,
+            color_im,
+            depth_im,
+            k,
+            tsdf_volume,
+            tsdf_bnds,
+            bound,
+            cam,
+            rcfg,
+            batch_size,
+            ignore_edge_W,
+            ignore_edge_H,
+            handle_dynamic,
+            use_color,
+            w_color_loss,
+        )
+        cam_p, ast = adam_update(cam_p, {"cam": grads}, ast, lr_tree)
+        better = loss < best_loss
+        best_loss = jnp.where(better, loss, best_loss)
+        best_tensor = jnp.where(better, cam_p["cam"], best_tensor)
+        return (cam_p, ast, best_loss, best_tensor), loss
+
+    init = (cam_params, astate, jnp.inf, init_camera_tensor)
+    (cam_params, _, _, best_tensor), losses = jax.lax.scan(one_iter, init, keys)
+    return best_tensor, losses, cam_params["cam"]
+
+
+class Tracker:
+    """Host-side tracking agent (ref: src/Tracker.py:150-274)."""
+
+    def __init__(
+        self,
+        cfg: Dict[str, Any],
+        cam: Camera,
+        rcfg: RenderConfig,
+        bound: np.ndarray,
+        tsdf_volume,
+        tsdf_bnds,
+    ):
+        t = cfg["tracking"]
+        self.cam = cam
+        self.rcfg = rcfg
+        self.bound = jnp.asarray(bound, dtype=jnp.float32)
+        self.tsdf_volume = tsdf_volume
+        self.tsdf_bnds = jnp.asarray(tsdf_bnds, dtype=jnp.float32)
+
+        self.cam_lr = float(t["lr"])
+        self.num_cam_iters = int(t["iters"])
+        self.gt_camera = bool(t["gt_camera"])
+        self.tracking_pixels = int(t["pixels"])
+        self.w_color_loss = float(t["w_color_loss"])
+        self.ignore_edge_W = int(t["ignore_edge_W"])
+        self.ignore_edge_H = int(t["ignore_edge_H"])
+        self.handle_dynamic = bool(t["handle_dynamic"])
+        self.use_color = bool(t["use_color_in_tracking"])
+        self.const_speed = bool(t["const_speed_assumption"])
+
+    def initial_pose(
+        self, idx: int, estimate_c2w_list: np.ndarray
+    ) -> np.ndarray:
+        """Constant-speed motion model init (ref: Tracker.py:203-209)."""
+        pre_c2w = estimate_c2w_list[idx - 1]
+        if self.const_speed and idx - 2 >= 0:
+            prepre = estimate_c2w_list[idx - 2]
+            delta = pre_c2w @ np.linalg.inv(prepre)
+            return (delta @ pre_c2w).astype(np.float32)
+        return pre_c2w.astype(np.float32)
+
+    def track(
+        self,
+        params: Any,
+        idx: int,
+        color_im: np.ndarray,
+        depth_im: np.ndarray,
+        gt_c2w: np.ndarray,
+        estimate_c2w_list: np.ndarray,
+        key: jax.Array,
+    ) -> Tuple[np.ndarray, jax.Array, float]:
+        """Track one frame; returns (est c2w 4x4, new key, final loss)."""
+        if idx == 0 or self.gt_camera:
+            return gt_c2w.astype(np.float32), key, 0.0
+
+        init_c2w = self.initial_pose(idx, estimate_c2w_list)
+        cam_tensor = jnp.asarray(pose_tensor_from_matrix(init_c2w))
+        key, sub = jax.random.split(key)
+        best, losses, _ = track_frame(
+            params,
+            cam_tensor,
+            jnp.asarray(color_im),
+            jnp.asarray(depth_im),
+            self.tsdf_volume,
+            self.tsdf_bnds,
+            self.bound,
+            sub,
+            self.cam,
+            self.rcfg,
+            self.tracking_pixels,
+            self.num_cam_iters,
+            self.ignore_edge_W,
+            self.ignore_edge_H,
+            self.handle_dynamic,
+            self.use_color,
+            self.w_color_loss,
+            self.cam_lr,
+        )
+        c2w = np.asarray(homogenize(pose_matrix_from_tensor(best)))
+        return c2w.astype(np.float32), key, float(losses[-1])

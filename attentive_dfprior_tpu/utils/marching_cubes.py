@@ -88,6 +88,29 @@ def marching_cubes(
     level: float = 0.0,
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     chunk_z: int = 64,
+    use_native: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dispatch: native C++ fast path when built, numpy golden otherwise."""
+    if use_native:
+        try:
+            from attentive_dfprior_tpu import native
+
+            if native.available():
+                verts, faces = native.marching_tets(
+                    np.ascontiguousarray(volume, dtype=np.float64), float(level)
+                )
+                verts = verts * np.asarray(spacing, dtype=np.float64)[None, :]
+                return verts, faces, _vertex_normals(verts, faces)
+        except Exception:
+            pass
+    return marching_cubes_numpy(volume, level, spacing, chunk_z)
+
+
+def marching_cubes_numpy(
+    volume: np.ndarray,
+    level: float = 0.0,
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    chunk_z: int = 64,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Extract the ``level`` iso-surface of a (X, Y, Z) scalar volume.
 

@@ -93,8 +93,14 @@ class SyntheticScene:
     # ---------------- camera path ----------------
 
     def pose_at(self, s: float) -> np.ndarray:
-        """OpenGL c2w on a circular trajectory looking at the room center."""
-        ang = 2.0 * np.pi * s
+        """OpenGL c2w on a circular-arc trajectory looking at the room center.
+
+        The arc spans 120 deg total so inter-frame motion at the default
+        frame counts is a few degrees — comparable to real RGB-D sequences
+        (trackers assume small motion, as the reference's const-speed model
+        does, ref: src/Tracker.py:203-209).
+        """
+        ang = (2.0 * np.pi / 3.0) * s
         eye = np.array(
             [1.1 * np.cos(ang), 0.25 * np.sin(2 * ang), 1.1 * np.sin(ang)]
         )

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark: rays/s/chip on the map+track hot loop (Replica room0 workload).
+
+Runs on the real TPU (does not override JAX_PLATFORMS). The workload matches
+the reference's Replica configuration exactly (SURVEY §6 / BASELINE.md):
+  - mapping: 60 joint iterations x 1000 rays x 48 samples/ray (25 low /
+    12 high / 23 color stage iterations), room0-scale feature grids and a
+    full-resolution (4/256 m) TSDF prior volume
+  - tracking: 10 iterations x 200 rays (color stage, pose-only grads)
+
+Primary metric: rays/s/chip over the combined map+track work for one
+5-frame SLAM cycle (1 mapped frame + 5 tracked frames, every_frame=5).
+
+vs_baseline: ratio to the reference implementation's estimated GPU
+throughput. The reference publishes no numbers (BASELINE.md); NICE-SLAM-
+lineage systems of this exact workload map a frame (60x1000 rays) in ~5 s
+on a desktop GPU => ~12k rays/s. We use 12_000 rays/s as the documented
+baseline estimate; the north-star target is >=5x (vs_baseline >= 5).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from attentive_dfprior_tpu.models.scene import SceneConfig, init_scene
+    from attentive_dfprior_tpu.ops.adam import adam_init
+    from attentive_dfprior_tpu.render.renderer import RenderConfig
+    from attentive_dfprior_tpu.slam.mapper import StageLRs, mapping_stage
+    from attentive_dfprior_tpu.slam.tracker import track_frame
+    from attentive_dfprior_tpu.camera import Camera
+
+    # ---- room0-scale scene (bounds from configs/Replica/room0.yaml) ----
+    bound = np.array([[-2.9, 8.94], [-3.2, 5.76], [-3.5, 3.54]])
+    scfg = SceneConfig(
+        bound=bound, c_dim=32, low_grid_len=0.32, high_grid_len=0.16,
+        color_grid_len=0.16, fix_high=False, fix_color=False,
+    )
+    key = jax.random.PRNGKey(0)
+    params = init_scene(key, scfg)
+
+    # full-resolution TSDF prior (4/256 m voxels), bf16-free f32 like the ref
+    voxel = 4.0 / 256
+    dims = tuple(int(np.ceil((bound[i, 1] - bound[i, 0]) / voxel)) for i in range(3))
+    tsdf_np = np.random.default_rng(0).uniform(-1, 1, size=dims).astype(np.float32)
+    tsdf = jnp.asarray(tsdf_np)
+    tsdf_bnds = jnp.asarray(bound, dtype=jnp.float32)
+    jbound = jnp.asarray(bound, dtype=jnp.float32)
+
+    cam = Camera(H=680, W=1200, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
+    rcfg = RenderConfig(N_samples=32, N_surface=16)
+
+    # synthetic frame content at Replica resolution
+    rng = np.random.default_rng(1)
+    F = 5  # mapping window (4 keyframes + current)
+    frames_color = jnp.asarray(rng.uniform(0, 1, (F, cam.H, cam.W, 3)), jnp.float32)
+    frames_depth = jnp.asarray(rng.uniform(0.5, 4.0, (F, cam.H, cam.W)), jnp.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [2.0, 1.0, 0.0]
+    frames_c2w = jnp.asarray(np.tile(c2w, (F, 1, 1)))
+
+    lrs = StageLRs(decoders=5e-3, mlp=5e-3, low=5e-3, high=5e-3, color=5e-3)
+    MAP_ITERS = {"low": 25, "high": 12, "color": 23}
+    PIXELS = 1000
+    pixs_per_image = PIXELS // F
+
+    def run_mapping_cycle(params):
+        astate = adam_init(params)
+        nonlocal key
+        for stage, n in MAP_ITERS.items():
+            keys = jax.random.split(jax.random.fold_in(key, hash(stage) % 2**31), n)
+            wf = jnp.zeros((n,), jnp.float32)
+            params, astate, losses = mapping_stage(
+                params, astate, frames_color, frames_depth, frames_c2w,
+                None, tsdf, tsdf_bnds, jbound, keys, wf, lrs, stage,
+                pixs_per_image, cam, rcfg, (False, False), 0.2, False,
+            )
+        return params, losses
+
+    TRACK_ITERS, TRACK_PIXELS = 10, 200
+    cam_tensor = jnp.asarray([1.0, 0.0, 0.0, 0.0, 2.0, 1.0, 0.0], jnp.float32)
+
+    def run_tracking(params, k):
+        best, losses, _ = track_frame(
+            params, cam_tensor, frames_color[0], frames_depth[0],
+            tsdf, tsdf_bnds, jbound, k, cam, rcfg,
+            TRACK_PIXELS, TRACK_ITERS, 100, 100, True, True, 0.5, 1e-3,
+        )
+        return losses
+
+    # ---- warmup / compile ----
+    t0 = time.time()
+    params, losses = run_mapping_cycle(params)
+    losses.block_until_ready()
+    tl = run_tracking(params, jax.random.PRNGKey(3))
+    tl.block_until_ready()
+    compile_s = time.time() - t0
+
+    # ---- timed: one SLAM cycle = 1 mapped frame + 5 tracked frames ----
+    REPS = 3
+    t0 = time.time()
+    for r in range(REPS):
+        params, losses = run_mapping_cycle(params)
+        for i in range(5):
+            tl = run_tracking(params, jax.random.PRNGKey(10 + r * 5 + i))
+        tl.block_until_ready()
+        losses.block_until_ready()
+    elapsed = time.time() - t0
+
+    rays_per_cycle = PIXELS * sum(MAP_ITERS.values()) + 5 * TRACK_PIXELS * TRACK_ITERS
+    rays_per_s = rays_per_cycle * REPS / elapsed
+
+    BASELINE_RAYS_PER_S = 12_000.0  # documented estimate, see module docstring
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_s_per_chip_map_track",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
+            }
+        )
+    )
+    # secondary diagnostics on stderr-style extra line (not the JSON contract)
+    import sys
+
+    print(
+        f"# compile={compile_s:.1f}s cycle={elapsed / REPS:.2f}s "
+        f"rays/cycle={rays_per_cycle} backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

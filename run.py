@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Run full SLAM on a scene config (ref: run.py:11-33).
+
+Usage:
+    python run.py configs/Replica/room0.yaml [--input_folder F] [--output O]
+                  [--resume] [--seed N] [--end_idx N]
+"""
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+
+def setup_seed(seed: int) -> None:
+    """Deterministic seeding (ref: run.py:11-16; unlike the reference, we
+    actually call it)."""
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Arguments for running the code.")
+    parser.add_argument("config", type=str, help="Path to config file.")
+    parser.add_argument("--input_folder", type=str, help="overrides config input path")
+    parser.add_argument("--output", type=str, help="overrides config output path")
+    parser.add_argument("--resume", action="store_true", help="resume from the latest checkpoint")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--end_idx", type=int, default=None, help="stop after this frame (debug)")
+    args = parser.parse_args()
+
+    setup_seed(args.seed)
+
+    from attentive_dfprior_tpu.config import default_config_path, load_config
+    from attentive_dfprior_tpu.slam.system import SLAMSystem
+    from attentive_dfprior_tpu.utils.logger import latest_checkpoint
+
+    cfg = load_config(args.config, default_config_path())
+    cfg["seed"] = args.seed
+    slam = SLAMSystem(cfg, args)
+
+    start = 0
+    if args.resume:
+        ckpt = latest_checkpoint(os.path.join(slam.output, "ckpts"))
+        if ckpt:
+            start = slam.resume(ckpt)
+            print(f"Resumed from {ckpt}; continuing at frame {start}")
+    slam.run(start_idx=start, end_idx=args.end_idx)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Evaluation-tool tests: ATE alignment, recon metrics, culling, ScanNet
+metrics."""
+
+import numpy as np
+import pytest
+
+from attentive_dfprior_tpu.tools.eval_ate import align, associate, evaluate_ate
+from attentive_dfprior_tpu.tools.eval_recon import (
+    calc_3d_metric,
+    completion_ratio,
+    icp_align,
+    sample_surface,
+)
+from attentive_dfprior_tpu.tools.evaluate_scannet import (
+    evaluate_mesh_metrics,
+    voxel_downsample,
+)
+from attentive_dfprior_tpu.tools.cull_mesh import cull_mesh
+
+
+def make_traj(n=50, seed=0):
+    rng = np.random.default_rng(seed)
+    poses = {}
+    for i in range(n):
+        t = i / n
+        c2w = np.eye(4)
+        c2w[:3, 3] = [np.cos(2 * np.pi * t), np.sin(2 * np.pi * t), 0.1 * t]
+        poses[float(i)] = c2w
+    return poses
+
+
+class TestATE:
+    def test_identical_trajectories_zero_error(self):
+        gt = make_traj()
+        res = evaluate_ate(gt, gt)
+        assert res["absolute_translational_error.rmse"] < 1e-9
+
+    def test_rigid_transform_invariance(self):
+        """Horn alignment must absorb a global SE(3) offset."""
+        gt = make_traj()
+        theta = 0.7
+        R = np.array(
+            [
+                [np.cos(theta), -np.sin(theta), 0],
+                [np.sin(theta), np.cos(theta), 0],
+                [0, 0, 1],
+            ]
+        )
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = [5, -2, 1]
+        est = {k: T @ v for k, v in gt.items()}
+        res = evaluate_ate(gt, est)
+        assert res["absolute_translational_error.rmse"] < 1e-9
+
+    def test_known_noise_level(self):
+        rng = np.random.default_rng(1)
+        gt = make_traj()
+        est = {}
+        for k, v in gt.items():
+            p = v.copy()
+            p[:3, 3] += rng.normal(0, 0.01, 3)
+            est[k] = p
+        res = evaluate_ate(gt, est)
+        rmse = res["absolute_translational_error.rmse"]
+        assert 0.005 < rmse < 0.03
+
+    def test_associate(self):
+        m = associate([0.0, 1.0, 2.0], [0.01, 1.005, 5.0], max_difference=0.02)
+        assert m == [(0.0, 0.01), (1.0, 1.005)]
+
+
+def make_sphere_mesh(r=1.0, n=24):
+    from attentive_dfprior_tpu.utils.marching_cubes import marching_cubes
+
+    g = np.mgrid[0:n, 0:n, 0:n].astype(float)
+    vol = (r / (2.2 * r / n)) - np.sqrt(((g - n / 2) ** 2).sum(0))
+    verts, faces, _ = marching_cubes(vol, 0.0)
+    verts = (verts - n / 2) * (2.2 * r / n)
+    return verts, faces
+
+
+class TestRecon:
+    def test_identical_meshes_near_perfect_scores(self):
+        # Two independent 20k samplings of the same unit sphere have mean NN
+        # spacing ~ 0.5*sqrt(area/n) ~ 1.3 cm — scores must be at that floor.
+        v, f = make_sphere_mesh()
+        res = calc_3d_metric(v, f, v, f, n_samples=20000, align=False)
+        assert res["accuracy_cm"] < 2.0
+        assert res["completion_cm"] < 2.0
+        assert res["completion_ratio_pct"] > 99.0
+
+    def test_icp_recovers_small_offset(self):
+        rng = np.random.default_rng(2)
+        v, f = make_sphere_mesh()
+        pts = sample_surface(v, f, 3000, rng)
+        shifted = pts + np.array([0.03, -0.02, 0.01])
+        T = icp_align(shifted, pts)
+        aligned = shifted @ T[:3, :3].T + T[:3, 3]
+        assert np.abs(aligned - pts).mean() < 0.01
+
+    def test_completion_ratio_threshold(self):
+        a = np.zeros((100, 3))
+        b = np.zeros((100, 3))
+        b[:, 0] = 0.06  # just past the 5cm threshold
+        assert completion_ratio(a, b) == 0.0
+        b[:, 0] = 0.04
+        assert completion_ratio(a, b) == 1.0
+
+
+class TestScanNetMetrics:
+    def test_perfect_mesh(self):
+        v, f = make_sphere_mesh()
+        rng = np.random.default_rng(3)
+        pts = sample_surface(v, f, 5000, rng)
+        res = evaluate_mesh_metrics(pts, pts)
+        assert res["F-score"] > 0.99
+        assert res["Chamfer"] < 0.02
+
+    def test_voxel_downsample(self):
+        pts = np.array([[0.0, 0, 0], [0.001, 0, 0], [1.0, 1, 1]])
+        out = voxel_downsample(pts, 0.1)
+        assert len(out) == 2
+
+
+class TestCullMesh:
+    def test_culls_behind_camera(self):
+        v, f = make_sphere_mesh(r=0.5)
+        v = v + np.array([0.0, 0.0, -3.0])  # in front (OpenGL -z forward)
+        pose = np.eye(4)[None]  # camera at origin looking -z
+        v2, f2 = cull_mesh(v, f, pose, H=100, W=100, fx=50, fy=50, cx=50, cy=50)
+        assert len(f2) > 0.5 * len(f)
+        # move mesh behind the camera -> everything culled
+        v3, f3 = cull_mesh(
+            v + np.array([0, 0, 6.0]), f, pose, H=100, W=100, fx=50, fy=50, cx=50, cy=50
+        )
+        assert len(f3) == 0

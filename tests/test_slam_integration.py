@@ -1,0 +1,128 @@
+"""End-to-end SLAM integration tests on the synthetic scene (CPU).
+
+Mirrors BASELINE.json config[0]: mapping-only with GT poses on a small,
+CPU-runnable workload; checks that mapping converges (depth error drops) and
+the full system loop (keyframes, checkpoint, resume, mesh) functions.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attentive_dfprior_tpu.config import default_config_path, load_config
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "Synthetic", "room.yaml"),
+        default_config_path(),
+    )
+    cfg["data"]["n_frames"] = 8
+    cfg["mapping"]["iters_first"] = 120
+    cfg["mapping"]["iters"] = 30
+    cfg["mapping"]["keyframe_every"] = 5
+    cfg["mapping"]["every_frame"] = 5
+    cfg["meshing"]["resolution"] = 48
+    cfg["tsdf"]["voxel_size"] = 0.03
+    cfg["tracking"]["gt_camera"] = True  # mapping-only (BASELINE config[0])
+    cfg["cam"]["H"] = 60
+    cfg["cam"]["W"] = 80
+    cfg["cam"]["fx"] = 60.0
+    cfg["cam"]["fy"] = 60.0
+    cfg["cam"]["cx"] = 39.5
+    cfg["cam"]["cy"] = 29.5
+    cfg["verbose"] = False
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def slam_run(cfg, tmp_path_factory):
+    from attentive_dfprior_tpu.slam.system import SLAMSystem
+
+    out = str(tmp_path_factory.mktemp("slam_out"))
+    slam = SLAMSystem(cfg, output=out)
+    slam.run()
+    return slam
+
+
+def _depth_eval(slam, frame=0, n=400):
+    from attentive_dfprior_tpu.render.renderer import render_rays
+
+    idx, color, depth, c2w = slam.dataset[frame]
+    rng = np.random.default_rng(0)
+    cam = slam.cam
+    jj = rng.integers(0, cam.H, n)
+    ii = rng.integers(0, cam.W, n)
+    dirs = np.stack(
+        [(ii - cam.cx) / cam.fx, -(jj - cam.cy) / cam.fy, -np.ones_like(ii, float)], -1
+    )
+    rd = dirs @ c2w[:3, :3].T
+    ro = np.broadcast_to(c2w[:3, 3], rd.shape)
+    gd = depth[jj, ii]
+    fn = jax.jit(functools.partial(render_rays, stage="color", rcfg=slam.rcfg))
+    d, v, c, w = fn(
+        slam.params,
+        jnp.asarray(ro, jnp.float32),
+        jnp.asarray(rd, jnp.float32),
+        jnp.asarray(gd),
+        slam.tsdf_volume,
+        jnp.asarray(slam.tsdf_bnds),
+        jnp.asarray(slam.scene_cfg.bound, jnp.float32),
+    )
+    return float(np.abs(np.asarray(d) - gd).mean()), float(
+        np.abs(np.asarray(c) - color[jj, ii]).mean()
+    )
+
+
+def test_mapping_converges(slam_run):
+    depth_err, color_err = _depth_eval(slam_run)
+    assert depth_err < 0.15, f"depth L1 {depth_err} too high after mapping"
+    assert color_err < 0.15, f"color L1 {color_err} too high after mapping"
+
+
+def test_keyframes_collected(slam_run):
+    assert len(slam_run.keyframes) >= 2
+    assert 0 in slam_run.keyframes.frame_idx
+
+
+def test_final_mesh_written(slam_run):
+    mesh_path = os.path.join(slam_run.output, "mesh", "final_mesh.ply")
+    assert os.path.exists(mesh_path)
+    from attentive_dfprior_tpu.utils.ply import read_ply
+
+    v, f, c = read_ply(mesh_path)
+    assert len(v) > 100 and len(f) > 100
+    # mesh vertices inside the scene bound
+    b = slam_run.scene_cfg.bound
+    assert (v >= b[:, 0] - 0.2).all() and (v <= b[:, 1] + 0.2).all()
+
+
+def test_checkpoint_and_resume(slam_run, cfg):
+    from attentive_dfprior_tpu.slam.system import SLAMSystem
+    from attentive_dfprior_tpu.utils.logger import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(slam_run.output, "ckpts"))
+    assert ckpt is not None
+
+    slam2 = SLAMSystem(cfg, output=slam_run.output + "_resume")
+    next_idx = slam2.resume(ckpt)
+    assert next_idx == slam_run.n_img  # ran to completion
+    assert len(slam2.keyframes) == len(slam_run.keyframes)
+    # restored params give the same rendering quality
+    d1, _ = _depth_eval(slam_run)
+    d2, _ = _depth_eval(slam2)
+    assert abs(d1 - d2) < 1e-5
+
+
+def test_ate_on_gt_camera_run_is_zero(slam_run):
+    from attentive_dfprior_tpu.tools.eval_ate import convert_poses, evaluate_ate
+
+    gt = convert_poses(slam_run.gt_c2w_list)
+    est = convert_poses(slam_run.estimate_c2w_list)
+    res = evaluate_ate(gt, est)
+    assert res["absolute_translational_error.rmse"] < 1e-6
