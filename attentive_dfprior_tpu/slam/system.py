@@ -139,6 +139,17 @@ class SLAMSystem:
             renderer=self.renderer,
             verbose=self.verbose,
         )
+        self.tracking_visualizer = Visualizer(
+            freq=int(cfg["tracking"]["vis_freq"]),
+            inside_freq=int(cfg["tracking"]["vis_inside_freq"]),
+            vis_dir=os.path.join(self.output, "tracking_vis"),
+            renderer=self.renderer,
+            verbose=self.verbose,
+        )
+        self.save_selected_keyframes_info = bool(
+            cfg["mapping"].get("save_selected_keyframes_info", False)
+        )
+        self.selected_keyframes: Dict[int, list] = {}
 
         m = cfg["mapping"]
         self.every_frame = int(m["every_frame"])
@@ -158,6 +169,9 @@ class SLAMSystem:
         self._np_rng = np.random.default_rng(seed)
         self._mapped_first = False
         self.timings: Dict[str, float] = {"track": 0.0, "map": 0.0}
+        from attentive_dfprior_tpu.utils.profiling import PhaseTimer
+
+        self.profiler = PhaseTimer()
 
     # ------------------------------------------------------------------
 
@@ -253,6 +267,11 @@ class SLAMSystem:
 
         for _ in range(outer):
             f_color, f_depth, f_c2w = self._select_window(color, depth, c2w)
+            if self.save_selected_keyframes_info:
+                # (ref: src/Mapper.py:306-319)
+                self.selected_keyframes[idx] = [
+                    {"est_c2w": f_c2w[i]} for i in range(len(f_c2w))
+                ]
             self.params, self.key, losses = self.mapper.optimize_map(
                 self.params,
                 num_iters,
@@ -275,6 +294,10 @@ class SLAMSystem:
         self._mapped_first = True
         if self.verbose:
             print(f"Mapping frame {idx}  losses={losses}")
+        if not (idx == 0 and self.cfg["mapping"].get("no_vis_on_first_frame", True)):
+            self.visualizer.vis(
+                idx, 0, depth, color, c2w, self.params, self.tsdf_volume
+            )
 
     def _kf_depths_np(self):
         K = len(self.keyframes)
@@ -283,8 +306,30 @@ class SLAMSystem:
     # ------------------------------------------------------------------
 
     def run(self, start_idx: int = 0, end_idx: Optional[int] = None):
-        """Main SLAM loop (strict-sync alternation)."""
+        """Main SLAM loop.
+
+        sync_method (ref: src/Mapper.py:496-509, src/Tracker.py:170-184):
+          - 'strict': mapping of frame i completes before tracking i+1 —
+            exactly the reference's serialized schedule.
+          - 'loose' / 'free': mapping of frame i is deferred by
+            every_frame//2 tracked frames, so the tracker works on a map
+            that is boundedly stale — the observable effect of the
+            reference's relaxed polling (on one chip, execution is still
+            sequential; the staleness pattern is what these modes change).
+        """
         n = self.n_img if end_idx is None else min(end_idx, self.n_img)
+        sync = self.cfg.get("sync_method", "strict")
+        lag = 0 if sync == "strict" else self.every_frame // 2
+        pending: list = []  # deferred mapping jobs: (idx, color, depth, gt)
+
+        def flush_pending(upto_idx: int):
+            while pending and pending[0][0] + lag <= upto_idx:
+                midx, mcolor, mdepth, mgt = pending.pop(0)
+                self._map_frame(
+                    midx, mcolor, mdepth,
+                    self.estimate_c2w_list[midx], mgt, first=False,
+                )
+
         for idx in range(start_idx, n):
             frame_idx, color, depth, gt_c2w = self.dataset[idx]
             self.gt_c2w_list[idx] = gt_c2w
@@ -293,6 +338,7 @@ class SLAMSystem:
                 self.estimate_c2w_list[0] = gt_c2w
                 self._map_frame(0, color, depth, gt_c2w, gt_c2w, first=True)
             else:
+                flush_pending(idx - 1)
                 t0 = time.time()
                 c2w, self.key, loss = self.tracker.track(
                     self.params, idx, color, depth, gt_c2w,
@@ -302,15 +348,22 @@ class SLAMSystem:
                 self.estimate_c2w_list[idx] = c2w
                 if self.verbose:
                     print(f"Tracking frame {idx}  loss={loss:.3f}")
+                self.tracking_visualizer.vis(
+                    idx, 0, depth, color, c2w, self.params, self.tsdf_volume
+                )
 
                 if not np.isfinite(gt_c2w).all():
                     continue  # skip mapping on invalid GT (ref: Mapper.py:521-524)
 
                 if idx % self.every_frame == 0 or idx == n - 1:
-                    self._map_frame(
-                        idx, color, depth,
-                        self.estimate_c2w_list[idx], gt_c2w, first=False,
-                    )
+                    if lag == 0 or idx == n - 1:
+                        flush_pending(n)
+                        self._map_frame(
+                            idx, color, depth,
+                            self.estimate_c2w_list[idx], gt_c2w, first=False,
+                        )
+                    else:
+                        pending.append((idx, color, depth, gt_c2w))
 
             # side outputs (ref: src/Mapper.py:574-602)
             last = idx == n - 1

@@ -110,6 +110,7 @@ def tracking_loss_fn(
         "use_color",
         "w_color_loss",
         "cam_lr",
+        "seperate_LR",
     ),
 )
 def track_frame(
@@ -131,25 +132,33 @@ def track_frame(
     use_color: bool,
     w_color_loss: float,
     cam_lr: float,
+    seperate_LR: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Optimize the camera tensor for one frame; return the best candidate.
 
     Candidate selection matches the reference exactly (ref: Tracker.py:239-261):
     the recorded candidate is the post-step tensor whose *pre-step* loss was
-    minimal.
+    minimal. With ``seperate_LR``, the quaternion gets 0.2x the translation
+    LR (ref: Tracker.py:213-224).
 
     Returns:
         best_camera_tensor (7,), losses (n_iters,), final_tensor (7,).
     """
-    cam_params = {"cam": init_camera_tensor}
+    if seperate_LR:
+        cam_params = {"quad": init_camera_tensor[:4], "T": init_camera_tensor[4:]}
+        lr_tree = {"quad": cam_lr * 0.2, "T": cam_lr}
+        assemble = lambda p: jnp.concatenate([p["quad"], p["T"]])
+    else:
+        cam_params = {"cam": init_camera_tensor}
+        lr_tree = {"cam": cam_lr}
+        assemble = lambda p: p["cam"]
     astate = adam_init(cam_params)
-    lr_tree = {"cam": cam_lr}
     keys = jax.random.split(key, n_iters)
 
     def one_iter(carry, k):
         cam_p, ast, best_loss, best_tensor = carry
-        loss, grads = jax.value_and_grad(tracking_loss_fn)(
-            cam_p["cam"],
+        loss, grads_t = jax.value_and_grad(tracking_loss_fn)(
+            assemble(cam_p),
             params,
             color_im,
             depth_im,
@@ -166,15 +175,19 @@ def track_frame(
             use_color,
             w_color_loss,
         )
-        cam_p, ast = adam_update(cam_p, {"cam": grads}, ast, lr_tree)
+        if seperate_LR:
+            grads = {"quad": grads_t[:4], "T": grads_t[4:]}
+        else:
+            grads = {"cam": grads_t}
+        cam_p, ast = adam_update(cam_p, grads, ast, lr_tree)
         better = loss < best_loss
         best_loss = jnp.where(better, loss, best_loss)
-        best_tensor = jnp.where(better, cam_p["cam"], best_tensor)
+        best_tensor = jnp.where(better, assemble(cam_p), best_tensor)
         return (cam_p, ast, best_loss, best_tensor), loss
 
     init = (cam_params, astate, jnp.inf, init_camera_tensor)
     (cam_params, _, _, best_tensor), losses = jax.lax.scan(one_iter, init, keys)
-    return best_tensor, losses, cam_params["cam"]
+    return best_tensor, losses, assemble(cam_params)
 
 
 class Tracker:
@@ -206,6 +219,7 @@ class Tracker:
         self.handle_dynamic = bool(t["handle_dynamic"])
         self.use_color = bool(t["use_color_in_tracking"])
         self.const_speed = bool(t["const_speed_assumption"])
+        self.seperate_LR = bool(t.get("seperate_LR", False))
 
     def initial_pose(
         self, idx: int, estimate_c2w_list: np.ndarray
@@ -254,6 +268,7 @@ class Tracker:
             self.use_color,
             self.w_color_loss,
             self.cam_lr,
+            self.seperate_LR,
         )
         c2w = np.asarray(homogenize(pose_matrix_from_tensor(best)))
         return c2w.astype(np.float32), key, float(losses[-1])

@@ -22,14 +22,20 @@ def cfg():
         os.path.join(os.path.dirname(__file__), "..", "configs", "Synthetic", "room.yaml"),
         default_config_path(),
     )
-    cfg["data"]["n_frames"] = 8
-    cfg["mapping"]["iters_first"] = 120
-    cfg["mapping"]["iters"] = 30
+    cfg["data"]["n_frames"] = 7
+    # iters_first == iters so both mapped frames reuse ONE compiled schedule
+    # (CPU compile time dominates this test)
+    cfg["mapping"]["iters_first"] = 90
+    cfg["mapping"]["iters"] = 90
+    cfg["mapping"]["lr_first_factor"] = 5
     cfg["mapping"]["keyframe_every"] = 5
     cfg["mapping"]["every_frame"] = 5
+    cfg["mapping"]["color_refine"] = False
     cfg["meshing"]["resolution"] = 48
     cfg["tsdf"]["voxel_size"] = 0.03
     cfg["tracking"]["gt_camera"] = True  # mapping-only (BASELINE config[0])
+    cfg["rendering"]["N_samples"] = 24
+    cfg["rendering"]["N_surface"] = 8
     cfg["cam"]["H"] = 60
     cfg["cam"]["W"] = 80
     cfg["cam"]["fx"] = 60.0
@@ -117,6 +123,44 @@ def test_checkpoint_and_resume(slam_run, cfg):
     d1, _ = _depth_eval(slam_run)
     d2, _ = _depth_eval(slam2)
     assert abs(d1 - d2) < 1e-5
+
+
+def test_tracker_reduces_pose_error(slam_run):
+    """Perturb a GT pose and verify the tracker's re-rendering optimization
+    pulls it back toward the truth on the trained map."""
+    from attentive_dfprior_tpu.ops.pose import (
+        homogenize,
+        pose_matrix_from_tensor,
+        pose_tensor_from_matrix,
+    )
+    from attentive_dfprior_tpu.slam.tracker import track_frame
+
+    idx, color, depth, gt_c2w = slam_run.dataset[3]
+    t = slam_run.tracker
+
+    init = gt_c2w.copy()
+    init[:3, 3] += np.array([0.03, -0.02, 0.02], np.float32)  # 4 cm offset
+    cam_tensor = jnp.asarray(pose_tensor_from_matrix(init))
+
+    best, losses, _ = track_frame(
+        slam_run.params,
+        cam_tensor,
+        jnp.asarray(color),
+        jnp.asarray(depth),
+        slam_run.tsdf_volume,
+        jnp.asarray(slam_run.tsdf_bnds),
+        jnp.asarray(slam_run.scene_cfg.bound, jnp.float32),
+        jax.random.PRNGKey(7),
+        t.cam,
+        t.rcfg,
+        400,   # rays
+        40,    # iters
+        5, 5, True, True, 0.5, 1e-3, False,
+    )
+    est = np.asarray(homogenize(pose_matrix_from_tensor(best)))
+    err0 = np.linalg.norm(init[:3, 3] - gt_c2w[:3, 3])
+    err1 = np.linalg.norm(est[:3, 3] - gt_c2w[:3, 3])
+    assert err1 < err0 * 0.8, f"tracker did not improve pose: {err0} -> {err1}"
 
 
 def test_ate_on_gt_camera_run_is_zero(slam_run):
