@@ -318,6 +318,11 @@ class SLAMSystem:
             sequential; the staleness pattern is what these modes change).
         """
         n = self.n_img if end_idx is None else min(end_idx, self.n_img)
+        # generalization of the reference's hardcoded scene0050 early stop at
+        # frame 4640 (ref: src/Mapper.py:576,590,604)
+        stop_at = self.cfg["mapping"].get("stop_at_frame")
+        if stop_at is not None:
+            n = min(n, int(stop_at) + 1)
         sync = self.cfg.get("sync_method", "strict")
         lag = 0 if sync == "strict" else self.every_frame // 2
         pending: list = []  # deferred mapping jobs: (idx, color, depth, gt)

@@ -98,7 +98,9 @@ def test_fused_plane_zero_crossing():
     assert (col[behind] < 0).all(), col[behind]
     # the positive->negative crossing (surface) within two voxels of z=1.5
     # (the first unobserved->positive flip near the camera is not a surface)
-    desc = np.where((col[:-1] > 0) & (col[1:] < 0))[0]
+    # note: the voxel exactly at the plane gets tsdf == 0.0, so the left
+    # side of the crossing is >= 0
+    desc = np.where((col[:-1] >= 0) & (col[1:] < 0))[0]
     assert len(desc) > 0
     z_cross = zs[desc[0]]
     assert abs(z_cross - 1.5) < 2 * vol.voxel_size
