@@ -110,9 +110,17 @@ def init_scene(
     }
     decoders = init_df_decoders(kd, c_dim=C)
     if pretrained_path:
-        loaded = load_pretrained_low_high(decoders, pretrained_path)
-        if loaded is not None:
-            decoders = loaded
+        if str(pretrained_path).endswith(".npz"):
+            # our own pretrained prior (tools/pretrain_decoders.py)
+            from attentive_dfprior_tpu.tools.pretrain_decoders import (
+                load_pretrained_npz,
+            )
+
+            decoders = load_pretrained_npz(decoders, pretrained_path)
+        else:
+            loaded = load_pretrained_low_high(decoders, pretrained_path)
+            if loaded is not None:
+                decoders = loaded
     params.update(decoders)
     return params
 

@@ -40,6 +40,29 @@ def normalize_3d_coordinate(p: jnp.ndarray, bound: jnp.ndarray) -> jnp.ndarray:
     return (p - lo) / (hi - lo) * 2.0 - 1.0
 
 
+def _corner_indices_weights(grid_shape, p_norm):
+    """Shared index/weight computation: corner linear ids (N, 8) and
+    trilinear weights (N, 8)."""
+    nx, ny, nz = grid_shape[:3]
+    dims = jnp.array([nx, ny, nz], dtype=p_norm.dtype)
+    idx = (p_norm + 1.0) * 0.5 * (dims - 1.0)
+    idx = jnp.clip(idx, 0.0, dims - 1.0)
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    i0 = jnp.minimum(i0, jnp.array([nx - 1, ny - 1, nz - 1], dtype=jnp.int32))
+    i1 = jnp.minimum(i0 + 1, jnp.array([nx - 1, ny - 1, nz - 1], dtype=jnp.int32))
+    f = idx - i0.astype(idx.dtype)
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+
+    corners = []
+    weights = []
+    for cx, wx in ((i0[:, 0], 1 - fx), (i1[:, 0], fx)):
+        for cy, wy in ((i0[:, 1], 1 - fy), (i1[:, 1], fy)):
+            for cz, wz in ((i0[:, 2], 1 - fz), (i1[:, 2], fz)):
+                corners.append((cx * ny + cy) * nz + cz)
+                weights.append(wx * wy * wz)
+    return jnp.stack(corners, axis=1), jnp.stack(weights, axis=1)
+
+
 def trilinear_sample(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
     """Sample a channels-last 3D grid at normalized coordinates.
 
@@ -106,4 +129,93 @@ def sample_feature_grid(
     Returns:
         (N, C) features.
     """
-    return trilinear_sample(grid, normalize_3d_coordinate(p, bound))
+    import os
+
+    impl = os.environ.get("DFPRIOR_TRILINEAR_VJP", "xla")
+    fn = trilinear_sample_opt if impl == "sorted" else trilinear_sample
+    return fn(grid, normalize_3d_coordinate(p, bound))
+
+
+# ---------------------------------------------------------------------------
+# Optimized custom-VJP variant: sorted segmented-reduce grid gradient
+# ---------------------------------------------------------------------------
+#
+# The autodiff transpose of the 8-corner gather is an XLA scatter-add with
+# duplicate indices, which TPUs execute row-serially (~7 ms for the 384k-row
+# scatter of one mapping iteration at reference workload). This variant sorts
+# the corner updates by voxel, collapses duplicate rows with a vectorized
+# segmented reduction (cumsum + associative scan), and performs a single
+# UNIQUE-index scatter, which XLA can vectorize. Select with
+# DFPRIOR_TRILINEAR_VJP=sorted.
+
+
+def _segmented_unique_scatter(
+    ids: jnp.ndarray, vals: jnp.ndarray, nrows: int
+) -> jnp.ndarray:
+    """Scatter-add rows with duplicate ids via sort + segmented reduce +
+    unique-index scatter.
+
+    Args:
+        ids: (M,) int32 row ids in [0, nrows).
+        vals: (M, C) values.
+
+    Returns:
+        (nrows, C) accumulated rows.
+    """
+    M, C = vals.shape
+    order = jnp.argsort(ids)
+    sid = jnp.take(ids, order)
+    sval = jnp.take(vals, order, axis=0)
+    csum = jnp.cumsum(sval, axis=0)
+    changed = sid[1:] != sid[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), changed])
+    is_end = jnp.concatenate([changed, jnp.ones((1,), bool)])
+    csum_prev = jnp.concatenate([jnp.zeros((1, C), csum.dtype), csum[:-1]], axis=0)
+
+    # broadcast each run-start's exclusive prefix to its whole run
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb[:, None], vb, va)
+
+    _, base = jax.lax.associative_scan(
+        combine, (is_start, jnp.where(is_start[:, None], csum_prev, 0.0))
+    )
+    run_total = csum - base  # correct at run-end positions
+
+    out_ids = jnp.where(is_end, sid, nrows + jnp.arange(M, dtype=sid.dtype))
+    buf = jnp.zeros((nrows + M, C), vals.dtype)
+    buf = buf.at[out_ids].set(
+        jnp.where(is_end[:, None], run_total, 0.0), unique_indices=True
+    )
+    return buf[:nrows]
+
+
+@jax.custom_vjp
+def trilinear_sample_opt(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
+    """trilinear_sample with the optimized grid-gradient scatter."""
+    return trilinear_sample(grid, p_norm)
+
+
+def _tso_fwd(grid, p_norm):
+    return trilinear_sample(grid, p_norm), (grid, p_norm)
+
+
+def _tso_bwd(res, g):
+    grid, p_norm = res
+    nx, ny, nz, C = grid.shape
+    # point gradient: autodiff of the gather-only path (no scatter involved)
+    _, pullback = jax.vjp(
+        lambda p: trilinear_sample(jax.lax.stop_gradient(grid), p), p_norm
+    )
+    (p_grad,) = pullback(g)
+
+    ids, w = _corner_indices_weights(grid.shape, p_norm)  # (N, 8) each
+    vals = (w[..., None] * g[:, None, :]).reshape(-1, C)  # (8N, C)
+    grid_grad = _segmented_unique_scatter(
+        ids.reshape(-1), vals, nx * ny * nz
+    ).reshape(grid.shape)
+    return grid_grad, p_grad
+
+
+trilinear_sample_opt.defvjp(_tso_fwd, _tso_bwd)

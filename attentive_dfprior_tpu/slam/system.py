@@ -172,6 +172,15 @@ class SLAMSystem:
         from attentive_dfprior_tpu.utils.profiling import PhaseTimer
 
         self.profiler = PhaseTimer()
+        # structured per-frame metrics stream (the reference only has
+        # colorama prints — SURVEY §5)
+        self._metrics_path = os.path.join(self.output, "metrics.jsonl")
+
+    def _log_metrics(self, record: Dict[str, Any]) -> None:
+        import json
+
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     # ------------------------------------------------------------------
 
@@ -294,6 +303,10 @@ class SLAMSystem:
         self._mapped_first = True
         if self.verbose:
             print(f"Mapping frame {idx}  losses={losses}")
+        self._log_metrics(
+            {"event": "map", "idx": int(idx), "losses": losses,
+             "first": bool(first), "n_keyframes": len(self.keyframes)}
+        )
         if not (idx == 0 and self.cfg["mapping"].get("no_vis_on_first_frame", True)):
             self.visualizer.vis(
                 idx, 0, depth, color, c2w, self.params, self.tsdf_volume
@@ -353,6 +366,9 @@ class SLAMSystem:
                 self.estimate_c2w_list[idx] = c2w
                 if self.verbose:
                     print(f"Tracking frame {idx}  loss={loss:.3f}")
+                self._log_metrics(
+                    {"event": "track", "idx": int(idx), "loss": float(loss)}
+                )
                 self.tracking_visualizer.vis(
                     idx, 0, depth, color, c2w, self.params, self.tsdf_volume
                 )

@@ -94,11 +94,14 @@ def main():
         return losses
 
     # ---- warmup / compile ----
+    # NOTE: block on the FULL output pytree — through the remote-TPU relay,
+    # blocking on a small array alone returns before the big donated outputs
+    # are complete and under-reports time by orders of magnitude.
     t0 = time.time()
     params, losses = run_mapping_cycle(params)
-    losses.block_until_ready()
+    jax.block_until_ready((params, losses))
     tl = run_tracking(params, jax.random.PRNGKey(3))
-    tl.block_until_ready()
+    jax.block_until_ready(tl)
     compile_s = time.time() - t0
 
     # ---- timed: one SLAM cycle = 1 mapped frame + 5 tracked frames ----
@@ -108,8 +111,7 @@ def main():
         params, losses = run_mapping_cycle(params)
         for i in range(5):
             tl = run_tracking(params, jax.random.PRNGKey(10 + r * 5 + i))
-        tl.block_until_ready()
-        losses.block_until_ready()
+        jax.block_until_ready((params, losses, tl))
     elapsed = time.time() - t0
 
     rays_per_cycle = PIXELS * sum(MAP_ITERS.values()) + 5 * TRACK_PIXELS * TRACK_ITERS
