@@ -1,0 +1,41 @@
+"""Pallas kernel parity tests (interpret mode, runs on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attentive_dfprior_tpu.models.decoders import (
+    init_mlp_decoder,
+    mlp_decoder_forward,
+)
+from attentive_dfprior_tpu.ops.pallas.decoder_kernel import (
+    fused_mlp_forward,
+    pack_mlp_params,
+)
+
+
+@pytest.mark.parametrize("color,c_dim", [(False, 32), (True, 32), (False, 64)])
+def test_fused_mlp_matches_reference(color, c_dim):
+    params = init_mlp_decoder(jax.random.PRNGKey(0), c_dim=c_dim, color=color)
+    rng = np.random.default_rng(0)
+    n = 700  # not a block multiple -> exercises padding
+    p = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((n, c_dim)).astype(np.float32))
+
+    ref = mlp_decoder_forward(params, p, c)
+    if ref.ndim == 1:
+        ref = ref[:, None]
+    out = fused_mlp_forward(pack_mlp_params(params), p, c, block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_mlp_block_sizes():
+    params = init_mlp_decoder(jax.random.PRNGKey(1), c_dim=32, color=True)
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.standard_normal((130, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((130, 32)).astype(np.float32))
+    packed = pack_mlp_params(params)
+    a = fused_mlp_forward(packed, p, c, block=128, interpret=True)
+    b = fused_mlp_forward(packed, p, c, block=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
