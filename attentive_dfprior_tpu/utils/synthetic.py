@@ -49,6 +49,7 @@ class SyntheticScene:
     box_half: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.45, 0.5, 0.35])
     )
+    arc_degrees: float = 120.0  # total trajectory arc
 
     @staticmethod
     def from_config(cfg: Dict[str, Any]) -> "SyntheticScene":
@@ -60,6 +61,7 @@ class SyntheticScene:
             fy=float(cam["fy"]),
             cx=float(cam["cx"]),
             cy=float(cam["cy"]),
+            arc_degrees=float(cfg["data"].get("arc_degrees", 120.0)),
         )
 
     # ---------------- geometry ----------------
@@ -95,12 +97,12 @@ class SyntheticScene:
     def pose_at(self, s: float) -> np.ndarray:
         """OpenGL c2w on a circular-arc trajectory looking at the room center.
 
-        The arc spans 120 deg total so inter-frame motion at the default
-        frame counts is a few degrees — comparable to real RGB-D sequences
-        (trackers assume small motion, as the reference's const-speed model
-        does, ref: src/Tracker.py:203-209).
+        The arc span is configurable (data.arc_degrees); real RGB-D captures
+        move millimeters per frame, and render-based trackers assume small
+        motion (the reference's const-speed model, ref: src/Tracker.py:203-209),
+        so tracking validations should use a small arc / many frames.
         """
-        ang = (2.0 * np.pi / 3.0) * s
+        ang = np.deg2rad(self.arc_degrees) * s
         eye = np.array(
             [1.1 * np.cos(ang), 0.25 * np.sin(2 * ang), 1.1 * np.sin(ang)]
         )
