@@ -196,6 +196,36 @@ class Renderer:
             )
         return self._jitted[stage]
 
+    def eval_points(self, params, p, tsdf_volume, stage: str = "color"):
+        """Chunked point query returning raw (N, 4) with the out-of-bound
+        occ=100 wall (ref: Renderer.py:27-71)."""
+        import numpy as np
+
+        from attentive_dfprior_tpu.utils.mesher import _eval_chunk
+
+        p = np.asarray(p, dtype=np.float32)
+        bs = 2**17
+        outs = []
+        for i in range(0, len(p), bs):
+            chunk = p[i : i + bs]
+            m = len(chunk)
+            if m < bs:
+                chunk = np.pad(chunk, ((0, bs - m), (0, 0)))
+            ret = _eval_chunk(
+                params, jnp.asarray(chunk), tsdf_volume, self.tsdf_bnds,
+                self.bound, stage,
+            )
+            outs.append(np.asarray(ret[:m]))
+        return np.concatenate(outs, axis=0)
+
+    def eval_points_tsdf(self, p, tsdf_volume):
+        """Trilinear TSDF values at points (ref: Renderer.py:84-107)."""
+        from attentive_dfprior_tpu.models.decoders import sample_tsdf
+
+        return np.asarray(
+            sample_tsdf(tsdf_volume, jnp.asarray(p, dtype=jnp.float32), self.tsdf_bnds)
+        )
+
     def render_batch_ray(
         self, params, rays_o, rays_d, gt_depth, tsdf_volume, stage: str
     ):
