@@ -23,6 +23,9 @@ def main():
 
     from attentive_dfprior_tpu.config import default_config_path, load_config
     from attentive_dfprior_tpu.tsdf.builder import save_tsdf_volume
+    from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = load_config(args.config, default_config_path())
     out = save_tsdf_volume(cfg, args, space=args.space)

@@ -34,7 +34,10 @@ def main():
 
     from attentive_dfprior_tpu.config import default_config_path, load_config
     from attentive_dfprior_tpu.slam.system import SLAMSystem
+    from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
     from attentive_dfprior_tpu.utils.logger import latest_checkpoint
+
+    enable_compilation_cache()
 
     cfg = load_config(args.config, default_config_path())
     cfg["seed"] = args.seed
