@@ -211,6 +211,28 @@ def sample_tsdf(
     return sample_feature_grid(tsdf_volume[..., None], p, tsdf_bnds)[:, 0]
 
 
+def _decoder_eval(
+    dec_params: Dict[str, Any], p: jnp.ndarray, c: jnp.ndarray, fused: bool
+) -> jnp.ndarray:
+    """Dispatch one decoder MLP either to the plain XLA chain or to the
+    fused Pallas TPU kernel (forward-only — no VJP; use fused=True only in
+    no-gradient paths like meshing and visualization renders)."""
+    if not fused:
+        return mlp_decoder_forward(dec_params, p, c)
+    from attentive_dfprior_tpu.ops.pallas.decoder_kernel import (
+        fused_mlp_forward,
+        pack_mlp_params,
+    )
+
+    out = fused_mlp_forward(
+        pack_mlp_params(dec_params), p, c,
+        interpret=jax.default_backend() != "tpu",
+    )
+    if out.shape[-1] == 1:
+        out = out[..., 0]
+    return out
+
+
 def df_forward(
     params: Dict[str, Any],
     p: jnp.ndarray,
@@ -219,6 +241,7 @@ def df_forward(
     tsdf_bnds: jnp.ndarray,
     bound: jnp.ndarray,
     stage: str = "color",
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stage-dispatched scene query (ref: decoder.py:307-353).
 
@@ -228,6 +251,8 @@ def df_forward(
         grids: {'grid_low','grid_high','grid_color'} channels-last volumes.
         tsdf_volume: (X, Y, Z); tsdf_bnds: (3, 2); bound: (3, 2) scene bound.
         stage: 'low' | 'high' | 'color' (static).
+        fused: route decoder MLPs through the fused Pallas kernel
+            (forward-only; for no-gradient eval paths).
 
     Returns:
         raw (N, 4) [rgb, occ], attention weight (N,).
@@ -235,7 +260,7 @@ def df_forward(
     n = p.shape[0]
     c_low = sample_feature_grid(grids["grid_low"], p, bound)
 
-    low_occ = mlp_decoder_forward(params["low"], p, c_low)
+    low_occ = _decoder_eval(params["low"], p, c_low, fused)
     if stage == "low":
         raw = jnp.zeros((n, 4), dtype=low_occ.dtype).at[:, 3].set(low_occ)
         return raw, jnp.ones((n,), dtype=low_occ.dtype)
@@ -244,7 +269,7 @@ def df_forward(
     # feature (ref: decoder.py:182-187).
     c_high = sample_feature_grid(grids["grid_high"], p, bound)
     c_high = jnp.concatenate([c_high, jax.lax.stop_gradient(c_low)], axis=-1)
-    high_occ = mlp_decoder_forward(params["high"], p, c_high)
+    high_occ = _decoder_eval(params["high"], p, c_high, fused)
     f_add_m_occ = high_occ + low_occ
 
     tsdf_val = sample_tsdf(tsdf_volume, p, tsdf_bnds)
@@ -262,7 +287,7 @@ def df_forward(
 
     # color stage
     c_color = sample_feature_grid(grids["grid_color"], p, bound)
-    rgb_occ = mlp_decoder_forward(params["color"], p, c_color)  # (N, 4)
+    rgb_occ = _decoder_eval(params["color"], p, c_color, fused)  # (N, 4)
     raw = jnp.concatenate([rgb_occ[:, :3], new_occ[:, None]], axis=-1)
     return raw, w
 

@@ -104,6 +104,7 @@ def render_rays(
     stage: str,
     rcfg: RenderConfig,
     key: Optional[jax.Array] = None,
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Render a batch of rays (ref: Renderer.py:110-255).
 
@@ -111,6 +112,7 @@ def render_rays(
         params: scene pytree ({grids..., decoders...}).
         rays_o / rays_d: (R, 3). gt_depth: (R,) sensor depth (0 = no reading).
         stage: 'low' | 'high' | 'color' (static).
+        fused: use the forward-only Pallas decoder kernel (no-grad paths only).
 
     Returns:
         depth (R,), depth_var (R,), color (R, 3), att_weight (R, S).
@@ -121,7 +123,8 @@ def render_rays(
     flat = pts.reshape(-1, 3)
 
     raw, att_w = df_forward(
-        params, flat, params, tsdf_volume, tsdf_bnds, bound, stage=stage
+        params, flat, params, tsdf_volume, tsdf_bnds, bound, stage=stage,
+        fused=fused,
     )
 
     # Out-of-bound points get occupancy 100 -> opaque wall at the bound
@@ -152,7 +155,8 @@ def render_rays(
         pts2 = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
         flat2 = pts2.reshape(-1, 3)
         raw2, att_w2 = df_forward(
-            params, flat2, params, tsdf_volume, tsdf_bnds, bound, stage=stage
+            params, flat2, params, tsdf_volume, tsdf_bnds, bound, stage=stage,
+            fused=fused,
         )
         inside2 = jnp.all((flat2 > bound[:, 0]) & (flat2 < bound[:, 1]), axis=-1)
         occ2 = jnp.where(inside2, raw2[:, 3], 100.0)
@@ -181,18 +185,34 @@ class Renderer:
         tsdf_bnds: np.ndarray,
         cam,
         ray_batch_size: int = 10000,
+        use_fused: Optional[bool] = None,
     ):
         self.rcfg = rcfg
         self.bound = jnp.asarray(bound, dtype=jnp.float32)
         self.tsdf_bnds = jnp.asarray(tsdf_bnds, dtype=jnp.float32)
         self.cam = cam
         self.ray_batch_size = ray_batch_size
+        # This class only serves no-gradient paths (visualization, eval),
+        # so the forward-only fused Pallas decoder kernel is safe; default
+        # on when running on a TPU backend. DFPRIOR_NO_FUSED_EVAL=1 is the
+        # escape hatch.
+        import os
+
+        if use_fused is None:
+            use_fused = (
+                jax.default_backend() == "tpu"
+                and os.environ.get("DFPRIOR_NO_FUSED_EVAL") != "1"
+            )
+        self.use_fused = use_fused
         self._jitted = {}
 
     def _fn(self, stage: str):
         if stage not in self._jitted:
             self._jitted[stage] = jax.jit(
-                functools.partial(render_rays, stage=stage, rcfg=self.rcfg)
+                functools.partial(
+                    render_rays, stage=stage, rcfg=self.rcfg,
+                    fused=self.use_fused,
+                )
             )
         return self._jitted[stage]
 
@@ -213,7 +233,7 @@ class Renderer:
                 chunk = np.pad(chunk, ((0, bs - m), (0, 0)))
             ret = _eval_chunk(
                 params, jnp.asarray(chunk), tsdf_volume, self.tsdf_bnds,
-                self.bound, stage,
+                self.bound, stage, fused=self.use_fused,
             )
             outs.append(np.asarray(ret[:m]))
         return np.concatenate(outs, axis=0)

@@ -15,6 +15,7 @@ TPU-native equivalent of the reference Mesher (ref: src/utils/Mesher.py):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -35,9 +36,11 @@ from attentive_dfprior_tpu.utils.mesh import (
 from attentive_dfprior_tpu.utils.ply import write_ply
 
 
-@functools.partial(jax.jit, static_argnames=("stage",))
-def _eval_chunk(params, pts, tsdf_volume, tsdf_bnds, bound, stage):
-    raw, _ = df_forward(params, pts, params, tsdf_volume, tsdf_bnds, bound, stage)
+@functools.partial(jax.jit, static_argnames=("stage", "fused"))
+def _eval_chunk(params, pts, tsdf_volume, tsdf_bnds, bound, stage, fused=False):
+    raw, _ = df_forward(
+        params, pts, params, tsdf_volume, tsdf_bnds, bound, stage, fused=fused
+    )
     inside = jnp.all((pts > bound[:, 0]) & (pts < bound[:, 1]), axis=-1)
     occ = jnp.where(inside, raw[:, 3], 100.0)
     return jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
@@ -64,6 +67,14 @@ class Mesher:
         )
         self.get_largest_components = bool(mcfg["get_largest_components"])
         self.points_batch_size = points_batch_size
+        # Meshing is a pure-forward query: route decoder MLPs through the
+        # fused Pallas kernel when on a TPU backend.
+        # DFPRIOR_NO_FUSED_EVAL=1 is the escape hatch (also used to check
+        # fused/unfused parity at the CLI surface).
+        self.use_fused = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("DFPRIOR_NO_FUSED_EVAL") != "1"
+        )
         self.scale = float(cfg.get("scale", 1))
         self.marching_cubes_bound = np.array(
             cfg["mapping"]["marching_cubes_bound"], dtype=np.float64
@@ -101,6 +112,7 @@ class Mesher:
                 self.tsdf_bnds,
                 self.bound,
                 stage,
+                fused=self.use_fused,
             )
             outs.append(np.asarray(ret[:m]))
         return np.concatenate(outs, axis=0)

@@ -30,6 +30,42 @@ def test_fused_mlp_matches_reference(color, c_dim):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("stage", ["low", "high", "color"])
+def test_df_forward_fused_parity(stage):
+    """The fused=True eval path (used by meshing/visualization on TPU) must
+    match the plain XLA df_forward at every stage."""
+    from attentive_dfprior_tpu.models.decoders import df_forward, init_df_decoders
+
+    key = jax.random.PRNGKey(2)
+    params = dict(init_df_decoders(key))
+    rng = np.random.default_rng(2)
+    params["grid_low"] = jnp.asarray(
+        rng.standard_normal((6, 5, 4, 32)).astype(np.float32) * 0.01
+    )
+    params["grid_high"] = jnp.asarray(
+        rng.standard_normal((10, 9, 8, 32)).astype(np.float32) * 1e-4
+    )
+    params["grid_color"] = jnp.asarray(
+        rng.standard_normal((10, 9, 8, 32)).astype(np.float32) * 0.01
+    )
+    bound = jnp.asarray([[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0]], jnp.float32)
+    tsdf = jnp.asarray(
+        np.clip(rng.standard_normal((12, 12, 12)), -1, 1).astype(np.float32)
+    )
+    p = jnp.asarray(rng.uniform(-0.9, 0.9, (300, 3)).astype(np.float32))
+
+    raw_ref, w_ref = df_forward(params, p, params, tsdf, bound, bound, stage)
+    raw_fused, w_fused = df_forward(
+        params, p, params, tsdf, bound, bound, stage, fused=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw_fused), np.asarray(raw_ref), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_fused), np.asarray(w_ref), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_fused_mlp_block_sizes():
     params = init_mlp_decoder(jax.random.PRNGKey(1), c_dim=32, color=True)
     rng = np.random.default_rng(1)
