@@ -57,9 +57,19 @@ def load_tsdf_volume(cfg: Dict[str, Any], args=None):
     npz_path = os.path.join(base, f"{prefix}_tsdf_volume.npz")
     pt_path = os.path.join(base, f"{prefix}_tsdf_volume.pt")
 
+    cfg_voxel = float(cfg.get("tsdf", {}).get("voxel_size", 4.0 / 256))
     if os.path.exists(npz_path):
         data = np.load(npz_path)
-        return jnp.asarray(data["tsdf"]), np.asarray(data["bounds"])
+        cached_voxel = float(data["voxel_size"]) if "voxel_size" in data else None
+        # only trust the cache if it was built at the configured resolution
+        # (older caches without metadata are accepted as-is)
+        if cached_voxel is None or abs(cached_voxel - cfg_voxel) < 1e-9:
+            print(f"TSDF prior: loaded cache {npz_path} (shape {data['tsdf'].shape})")
+            return jnp.asarray(data["tsdf"]), np.asarray(data["bounds"])
+        print(
+            f"TSDF cache {npz_path} voxel_size {cached_voxel} != configured "
+            f"{cfg_voxel}; rebuilding on the fly"
+        )
     if os.path.exists(pt_path):
         import torch
 
@@ -75,8 +85,8 @@ def load_tsdf_volume(cfg: Dict[str, Any], args=None):
     from attentive_dfprior_tpu.tsdf.builder import build_tsdf_volume
 
     space = int(cfg.get("tsdf", {}).get("space", 10))
-    voxel_size = float(cfg.get("tsdf", {}).get("voxel_size", 4.0 / 256))
-    tsdf, bounds, _ = build_tsdf_volume(cfg, args, space=space, voxel_size=voxel_size)
+    print(f"TSDF prior: fusing on the fly (voxel {cfg_voxel}, every {space} frames)")
+    tsdf, bounds, _ = build_tsdf_volume(cfg, args, space=space, voxel_size=cfg_voxel)
     return tsdf, bounds
 
 
@@ -101,6 +111,13 @@ class SLAMSystem:
 
         # --- scene state ---
         pretrained = cfg.get("pretrained_decoders", {}).get("low_high")
+        # the reference ships a torch blob (pretrained/low_high.pt); our
+        # pretrain tool writes an .npz — fall back to the sibling .npz when
+        # the configured .pt is absent
+        if pretrained and not os.path.exists(str(pretrained)):
+            alt = str(pretrained).rsplit(".", 1)[0] + ".npz"
+            if os.path.exists(alt):
+                pretrained = alt
         pretrained_exists = bool(pretrained) and os.path.exists(str(pretrained))
         self.scene_cfg = SceneConfig.from_config(cfg, pretrained_loaded=pretrained_exists)
         seed = int(cfg.get("seed", 0))

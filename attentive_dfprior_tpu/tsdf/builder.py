@@ -81,5 +81,11 @@ def save_tsdf_volume(cfg: Dict[str, Any], args=None, space: int = 10) -> str:
         save_mesh_path=os.path.join(base, f"{prefix}_mesh.ply"),
     )
     out = os.path.join(base, f"{prefix}_tsdf_volume.npz")
-    np.savez_compressed(out, tsdf=np.asarray(tsdf), bounds=bounds)
+    np.savez_compressed(
+        out,
+        tsdf=np.asarray(tsdf),
+        bounds=bounds,
+        voxel_size=np.float32(voxel_size),
+        space=np.int32(space),
+    )
     return out

@@ -16,8 +16,10 @@ def main():
     parser.add_argument(
         "--space",
         type=int,
-        default=10,
-        help="integrate every space-th frame into the TSDF volume",
+        default=None,
+        help="integrate every space-th frame into the TSDF volume "
+        "(default: the config's tsdf.space, else 10; the reference uses "
+        "1 for Replica and 10 for ScanNet)",
     )
     args = parser.parse_args()
 
@@ -28,7 +30,10 @@ def main():
     enable_compilation_cache()
 
     cfg = load_config(args.config, default_config_path())
-    out = save_tsdf_volume(cfg, args, space=args.space)
+    space = args.space
+    if space is None:
+        space = int(cfg.get("tsdf", {}).get("space", 10))
+    out = save_tsdf_volume(cfg, args, space=space)
     print(f"Saved TSDF volume to {out}")
 
 

@@ -34,6 +34,9 @@ def cfg():
     cfg["meshing"]["resolution"] = 48
     cfg["tsdf"]["voxel_size"] = 0.03
     cfg["tracking"]["gt_camera"] = True  # mapping-only (BASELINE config[0])
+    # pin the from-scratch decoder path: a pretrained/low_high.npz in the
+    # repo root (shipped prior) must not leak into these assertions
+    cfg["pretrained_decoders"]["low_high"] = ""
     cfg["rendering"]["N_samples"] = 24
     cfg["rendering"]["N_surface"] = 8
     cfg["cam"]["H"] = 60
