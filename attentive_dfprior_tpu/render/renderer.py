@@ -46,6 +46,7 @@ def make_z_vals(
     bound: jnp.ndarray,
     rcfg: RenderConfig,
     key: Optional[jax.Array] = None,
+    no_gt_depth: bool = False,
 ) -> jnp.ndarray:
     """Per-ray sample depths: stratified near->far + surface band, sorted.
 
@@ -56,8 +57,13 @@ def make_z_vals(
       - N_surface in [0.95 d, 1.05 d] for d > 0; uniform [1e-3, max depth]
         for d == 0 (so zero-depth pixels still supervise color).
 
+    With ``no_gt_depth`` (the reference's gt_depth=None branch,
+    ref: Renderer.py:149-162): near = 0.01, far = bound exit (unclamped),
+    and no surface band — pure stratified sampling to the scene bound.
+
     Returns:
-        (R, N_samples + N_surface) sorted z values.
+        (R, N_samples + N_surface) sorted z values
+        ((R, N_samples) when no_gt_depth).
     """
     R = rays_o.shape[0]
     gt_depth = gt_depth.reshape(R)
@@ -65,9 +71,13 @@ def make_z_vals(
     far_bb = ray_bound_intersection(
         jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d), bound
     ) + 0.01  # (R,)
-    max_depth = jnp.max(gt_depth)
-    far = jnp.clip(far_bb, 0.0, max_depth * 1.2)[:, None]  # (R, 1)
-    near = (gt_depth * 0.01)[:, None]
+    if no_gt_depth:
+        far = far_bb[:, None]
+        near = jnp.full((R, 1), 0.01, dtype=rays_o.dtype)
+    else:
+        max_depth = jnp.max(gt_depth)
+        far = jnp.clip(far_bb, 0.0, max_depth * 1.2)[:, None]  # (R, 1)
+        near = (gt_depth * 0.01)[:, None]
 
     t = jnp.linspace(0.0, 1.0, rcfg.N_samples, dtype=rays_o.dtype)
     if not rcfg.lindisp:
@@ -82,7 +92,7 @@ def make_z_vals(
         t_rand = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
         z_vals = lower + (upper - lower) * t_rand
 
-    if rcfg.N_surface > 0:
+    if rcfg.N_surface > 0 and not no_gt_depth:
         ts = jnp.linspace(0.0, 1.0, rcfg.N_surface, dtype=rays_o.dtype)
         d = gt_depth[:, None]
         z_surf_pos = 0.95 * d * (1.0 - ts) + 1.05 * d * ts
@@ -105,6 +115,7 @@ def render_rays(
     rcfg: RenderConfig,
     key: Optional[jax.Array] = None,
     fused: bool = False,
+    no_gt_depth: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Render a batch of rays (ref: Renderer.py:110-255).
 
@@ -113,11 +124,16 @@ def render_rays(
         rays_o / rays_d: (R, 3). gt_depth: (R,) sensor depth (0 = no reading).
         stage: 'low' | 'high' | 'color' (static).
         fused: use the forward-only Pallas decoder kernel (no-grad paths only).
+        no_gt_depth: render without sensor depth (the reference's
+            gt_depth=None branch, ref: Renderer.py:140-162) — near 0.01,
+            far = bound exit, no surface band. ``gt_depth`` is ignored.
 
     Returns:
         depth (R,), depth_var (R,), color (R, 3), att_weight (R, S).
     """
-    z_vals = make_z_vals(rays_o, rays_d, gt_depth, bound, rcfg, key)
+    z_vals = make_z_vals(
+        rays_o, rays_d, gt_depth, bound, rcfg, key, no_gt_depth=no_gt_depth
+    )
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # (R,S,3)
     R, S = z_vals.shape
     flat = pts.reshape(-1, 3)
@@ -206,15 +222,16 @@ class Renderer:
         self.use_fused = use_fused
         self._jitted = {}
 
-    def _fn(self, stage: str):
-        if stage not in self._jitted:
-            self._jitted[stage] = jax.jit(
+    def _fn(self, stage: str, no_gt_depth: bool = False):
+        k = (stage, no_gt_depth)
+        if k not in self._jitted:
+            self._jitted[k] = jax.jit(
                 functools.partial(
                     render_rays, stage=stage, rcfg=self.rcfg,
-                    fused=self.use_fused,
+                    fused=self.use_fused, no_gt_depth=no_gt_depth,
                 )
             )
-        return self._jitted[stage]
+        return self._jitted[k]
 
     def eval_points(self, params, p, tsdf_volume, stage: str = "color"):
         """Chunked point query returning raw (N, 4) with the out-of-bound
@@ -249,12 +266,20 @@ class Renderer:
     def render_batch_ray(
         self, params, rays_o, rays_d, gt_depth, tsdf_volume, stage: str
     ):
-        """(ref: Renderer.py:110-255)"""
-        return self._fn(stage)(
+        """(ref: Renderer.py:110-255); gt_depth=None selects the
+        depth-free sampling branch (ref: Renderer.py:140-162)."""
+        rays_o = jnp.asarray(rays_o)
+        no_gt = gt_depth is None
+        gd = (
+            jnp.zeros((rays_o.shape[0],), dtype=jnp.float32)
+            if no_gt
+            else jnp.asarray(gt_depth)
+        )
+        return self._fn(stage, no_gt)(
             params,
-            jnp.asarray(rays_o),
+            rays_o,
             jnp.asarray(rays_d),
-            jnp.asarray(gt_depth),
+            gd,
             tsdf_volume,
             self.tsdf_bnds,
             self.bound,
@@ -275,13 +300,14 @@ class Renderer:
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
         n = rays_o.shape[0]
-        if gt_depth is None:
+        no_gt = gt_depth is None
+        if no_gt:
             gt = jnp.zeros((n,), dtype=jnp.float32)
         else:
             gt = jnp.asarray(gt_depth).reshape(-1)
 
         bs = self.ray_batch_size
-        fn = self._fn(stage)
+        fn = self._fn(stage, no_gt)
         depths, uncs, colors = [], [], []
         for i in range(0, n, bs):
             sl = slice(i, min(i + bs, n))

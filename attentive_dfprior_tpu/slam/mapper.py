@@ -193,6 +193,39 @@ def mapping_stage(
     return params, adam_state, losses
 
 
+def _bilinear_sample_border0(img: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Bilinear sample ``img`` at float pixel coords (u, v), zero outside.
+
+    Matches cv2.remap(INTER_LINEAR, BORDER_CONSTANT=0) semantics but has no
+    OpenCV row-count limit (cv2.remap asserts rows < SHRT_MAX, which the
+    reference works around by chunking at 3e4 — ref: src/Mapper.py:125-131;
+    this pure-numpy version handles Replica-scale grids in one shot).
+    """
+    H, W = img.shape
+    # guard against inf/NaN coords from near-zero projective depth
+    u = np.nan_to_num(u, nan=-1e9, posinf=1e9, neginf=-1e9)
+    v = np.nan_to_num(v, nan=-1e9, posinf=1e9, neginf=-1e9)
+    u = np.clip(u, -2.0, W + 1.0)
+    v = np.clip(v, -2.0, H + 1.0)
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    du = (u - u0).astype(np.float64)
+    dv = (v - v0).astype(np.float64)
+    out = np.zeros(u.shape, dtype=np.float64)
+    for iu, iv, w in (
+        (u0, v0, (1 - du) * (1 - dv)),
+        (u0 + 1, v0, du * (1 - dv)),
+        (u0, v0 + 1, (1 - du) * dv),
+        (u0 + 1, v0 + 1, du * dv),
+    ):
+        valid = (iu >= 0) & (iu < W) & (iv >= 0) & (iv < H)
+        val = np.where(
+            valid, img[np.clip(iv, 0, H - 1), np.clip(iu, 0, W - 1)], 0.0
+        )
+        out += w * val
+    return out.astype(np.float32)
+
+
 def get_frustum_mask(
     c2w: np.ndarray,
     grid_shape_xyz: Tuple[int, int, int],
@@ -206,14 +239,14 @@ def get_frustum_mask(
     voxel centers on the bound lattice are projected into the current view;
     kept if inside the image, in front of the camera, and within
     (sampled depth + 0.5 m); voxels within 0.5 m of the camera center are
-    always kept. Depth is sampled bilinearly (cv2.remap INTER_LINEAR, border
-    0) with zero readings replaced by the max depth.
+    always kept. Depth is sampled bilinearly (border 0) with zero readings
+    replaced by the max depth. Unlike the reference (cv2.remap chunked at
+    3e4 rows to dodge the SHRT_MAX assert), the bilinear sample is pure
+    numpy and handles Replica-scale grids (>180k voxels) unchunked.
 
     Returns:
         (nx, ny, nz) bool mask in our natural grid layout.
     """
-    import cv2
-
     nx, ny, nz = grid_shape_xyz
     X, Y, Z = np.meshgrid(
         np.linspace(bound[0][0], bound[0][1], nx),
@@ -232,11 +265,8 @@ def get_frustum_mask(
     z = uv[:, 2:3] + 1e-5
     uv = (uv[:, :2] / z).astype(np.float32)
 
-    depths = cv2.remap(
-        depth_np,
-        uv[:, 0].reshape(-1, 1),
-        uv[:, 1].reshape(-1, 1),
-        interpolation=cv2.INTER_LINEAR,
+    depths = _bilinear_sample_border0(
+        np.asarray(depth_np, dtype=np.float32), uv[:, 0], uv[:, 1]
     ).reshape(-1, 1)
 
     edge = 0

@@ -212,6 +212,7 @@ class SLAMSystem:
             "estimate_c2w_list"
         ]
         self.gt_c2w_list[: len(meta["gt_c2w_list"])] = meta["gt_c2w_list"]
+        kf_gt = meta.get("keyframe_gt_c2w")
         for slot, kf_idx in enumerate(meta["keyframe_idx_list"]):
             _, color, depth, _ = self.dataset[int(kf_idx)]
             self.keyframes.add(
@@ -219,8 +220,9 @@ class SLAMSystem:
                 color,
                 depth,
                 meta["keyframe_est_c2w"][slot],
-                self.gt_c2w_list[int(kf_idx)],
+                kf_gt[slot] if kf_gt is not None else self.gt_c2w_list[int(kf_idx)],
             )
+        self.selected_keyframes = meta.get("selected_keyframes", {})
         self._mapped_first = True
         return idx + 1
 
@@ -416,6 +418,12 @@ class SLAMSystem:
                     self.gt_c2w_list,
                     self.keyframes.frame_idx,
                     self.keyframes.poses_np(),
+                    keyframe_gt_c2w=self.keyframes.gt_c2w[: len(self.keyframes)],
+                    selected_keyframes=(
+                        self.selected_keyframes
+                        if self.save_selected_keyframes_info
+                        else None
+                    ),
                 )
             if (
                 idx % self.mesh_freq == 0

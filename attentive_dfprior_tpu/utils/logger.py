@@ -45,7 +45,17 @@ class Logger:
         gt_c2w_list: np.ndarray,
         keyframe_idx_list,
         keyframe_est_c2w: np.ndarray,
+        keyframe_gt_c2w: Optional[np.ndarray] = None,
+        selected_keyframes: Optional[Dict[int, Any]] = None,
     ) -> str:
+        """Write a checkpoint.
+
+        Matches the reference Logger's payload (ref: src/utils/Logger.py:24-34:
+        grids, decoders, gt/est pose lists, keyframe list, selected
+        keyframes, idx) so eval paths never need the dataset to reconstruct
+        state. ``selected_keyframes`` ({mapped idx: [est_c2w, ...]}) is
+        ragged and stored as a flat array + offsets.
+        """
         path = os.path.join(self.ckptsdir, f"{idx:05d}.npz")
         payload = _flatten_pytree(params)
         payload.update(
@@ -55,6 +65,22 @@ class Logger:
             keyframe_idx_list=np.asarray(keyframe_idx_list, dtype=np.int64),
             keyframe_est_c2w=np.asarray(keyframe_est_c2w),
         )
+        if keyframe_gt_c2w is not None:
+            payload["keyframe_gt_c2w"] = np.asarray(keyframe_gt_c2w)
+        if selected_keyframes:
+            sel_idx = np.asarray(sorted(selected_keyframes), dtype=np.int64)
+            counts = [len(selected_keyframes[int(i)]) for i in sel_idx]
+            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            poses = [
+                np.asarray(entry["est_c2w"], dtype=np.float32)
+                for i in sel_idx
+                for entry in selected_keyframes[int(i)]
+            ]
+            payload["selected_kf_idx"] = sel_idx
+            payload["selected_kf_offsets"] = offsets
+            payload["selected_kf_est_c2w"] = (
+                np.stack(poses) if poses else np.zeros((0, 4, 4), np.float32)
+            )
         np.savez_compressed(path, **payload)
         if self.verbose:
             print("Saved checkpoint at", path)
@@ -81,4 +107,15 @@ def load_checkpoint(
         "keyframe_idx_list": data["keyframe_idx_list"],
         "keyframe_est_c2w": data["keyframe_est_c2w"],
     }
+    if "keyframe_gt_c2w" in data:
+        meta["keyframe_gt_c2w"] = data["keyframe_gt_c2w"]
+    if "selected_kf_idx" in data:
+        sel: Dict[int, list] = {}
+        offsets = data["selected_kf_offsets"]
+        poses = data["selected_kf_est_c2w"]
+        for j, i in enumerate(data["selected_kf_idx"]):
+            sel[int(i)] = [
+                {"est_c2w": poses[k]} for k in range(offsets[j], offsets[j + 1])
+            ]
+        meta["selected_keyframes"] = sel
     return params, meta

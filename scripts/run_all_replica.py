@@ -2,8 +2,9 @@
 """Batch runner: all 8 Replica scenes (BASELINE.json configs[4]).
 
 Runs get_tsdf + SLAM + ATE + recon eval per scene sequentially on this host.
-For a multi-host pod, launch one scene per host (each host's SLAM already
-shards its ray batches across its local chips via parallel/sharding.py).
+For a multi-host pod, launch one scene per host; enable intra-host ray-batch
+data parallelism with ``parallel: {enable: true}`` in the config (see
+attentive_dfprior_tpu/parallel/sharding.py).
 """
 import argparse
 import os

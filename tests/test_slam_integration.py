@@ -173,3 +173,25 @@ def test_ate_on_gt_camera_run_is_zero(slam_run):
     est = convert_poses(slam_run.estimate_c2w_list)
     res = evaluate_ate(gt, est)
     assert res["absolute_translational_error.rmse"] < 1e-6
+
+
+def test_render_without_gt_depth_correlates(slam_run):
+    """gt_depth=None rendering (ref: src/utils/Renderer.py:140-162): near
+    0.01, far = bound exit, no surface band. On the trained map the rendered
+    depth must correlate with the GT sensor depth — the round-1 degenerate
+    all-zero sample ladder produced garbage here."""
+    idx, color, depth, c2w = slam_run.dataset[0]
+    cam = slam_run.cam
+
+    d_img, _, c_img = slam_run.renderer.render_img(
+        slam_run.params, c2w, slam_run.tsdf_volume, stage="color", gt_depth=None
+    )
+    d = np.asarray(d_img)
+    assert np.isfinite(d).all()
+    valid = depth > 0
+    # rendered depth must not be the degenerate all-near-zero ladder
+    assert d[valid].mean() > 0.1
+    corr = np.corrcoef(d[valid].ravel(), depth[valid].ravel())[0, 1]
+    assert corr > 0.7, f"no-GT-depth render uncorrelated with GT (r={corr:.3f})"
+    err = np.abs(d[valid] - depth[valid]).mean()
+    assert err < 0.25, f"no-GT-depth depth L1 {err:.3f} too high"
