@@ -35,6 +35,55 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Build the data-parallel mesh from the ``parallel`` config section.
+
+    Config surface (configs/df_prior.yaml):
+        parallel:
+          enable: False      # turn on ray-axis data parallelism
+          n_devices: -1      # -1 = all local devices
+          multihost: False   # call jax.distributed.initialize (run.py)
+
+    Returns None when parallelism is disabled or only one device would be
+    used (the single-device path needs no sharding constraints).
+    """
+    p = cfg.get("parallel", {}) if cfg else {}
+    if not p or not bool(p.get("enable", False)):
+        return None
+    n = int(p.get("n_devices", -1))
+    devices = jax.devices()
+    if n > 0:
+        if n > len(devices):
+            raise ValueError(
+                f"parallel.n_devices={n} but only {len(devices)} devices visible"
+            )
+        devices = devices[:n]
+    if len(devices) < 2:
+        return None
+    return make_mesh(devices)
+
+
+def ray_sharding(mesh: Optional[Mesh], axis: str = "dp") -> Optional[NamedSharding]:
+    """NamedSharding that splits the leading (ray) axis across the mesh."""
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(axis))
+
+
+def constrain_rays(sharding: Optional[NamedSharding], *arrays):
+    """Inside-jit sharding constraint on ray-batch arrays (leading axis).
+
+    This is the production hook: mapping/tracking steps call it on the
+    per-iteration ray batch, making XLA shard the render + backward over
+    the dp axis and insert the gradient psum automatically. No-op when
+    sharding is None (single-device path compiles unchanged).
+    """
+    if sharding is None:
+        return arrays[0] if len(arrays) == 1 else arrays
+    out = tuple(jax.lax.with_sharding_constraint(a, sharding) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
 def shard_rays(mesh: Mesh, *arrays, axis: str = "dp"):
     """Place ray-batch arrays sharded along their leading axis."""
     sh = NamedSharding(mesh, P(axis))

@@ -112,6 +112,7 @@ def mapping_loss_fn(
         "scene_cfg_static",
         "w_color_loss",
         "use_frustum_masks",
+        "ray_sharding",
     ),
     donate_argnums=(0, 1),
 )
@@ -135,10 +136,17 @@ def mapping_stage(
     scene_cfg_static: Tuple,  # (fix_high, fix_color) — hashable subset
     w_color_loss: float,
     use_frustum_masks: bool,
+    ray_sharding=None,
 ):
     """Run one optimization stage (n_iters iterations) as a scanned loop.
 
     Returns (params, adam_state, per-iter losses).
+
+    With ``ray_sharding`` (a NamedSharding over the dp mesh axis), each
+    iteration's ray batch is sharded across devices; scene params stay
+    replicated and XLA inserts the gradient all-reduce over ICI. This is
+    the production data-parallel path (the reference is single-GPU —
+    SURVEY §2.3; scale-out is this framework's north star).
     """
     fix_high, fix_color = scene_cfg_static
     scfg = SceneConfig(
@@ -172,6 +180,10 @@ def mapping_stage(
         rd = rd.reshape(-1, 3)
         gd = gd.reshape(-1)
         gc = gc.reshape(-1, 3)
+        if ray_sharding is not None:
+            from attentive_dfprior_tpu.parallel.sharding import constrain_rays
+
+            ro, rd, gd, gc = constrain_rays(ray_sharding, ro, rd, gd, gc)
 
         # in-bound ray mask (ref: Mapper.py:438-449), as loss weights
         t = ray_bound_intersection(ro, rd, bound)
@@ -298,8 +310,10 @@ class Mapper:
         rcfg: RenderConfig,
         tsdf_volume,
         tsdf_bnds,
+        ray_sharding=None,
     ):
         m = cfg["mapping"]
+        self.ray_sharding = ray_sharding
         self.cfg = cfg
         self.cam = cam
         self.scene_cfg = scene_cfg
@@ -333,10 +347,19 @@ class Mapper:
 
     # ------------------------------------------------------------------
 
-    def _stage_schedule(self, num_joint_iters: int) -> List[Tuple[str, int, int]]:
+    def _stage_schedule(
+        self,
+        num_joint_iters: int,
+        low_iter_ratio: Optional[float] = None,
+        high_iter_ratio: Optional[float] = None,
+    ) -> List[Tuple[str, int, int]]:
         """[(stage, start_iter, end_iter)] matching ref: Mapper.py:390-395."""
-        lo_end = int(num_joint_iters * self.low_iter_ratio)
-        hi_end = int(num_joint_iters * self.high_iter_ratio)
+        if low_iter_ratio is None:
+            low_iter_ratio = self.low_iter_ratio
+        if high_iter_ratio is None:
+            high_iter_ratio = self.high_iter_ratio
+        lo_end = int(num_joint_iters * low_iter_ratio)
+        hi_end = int(num_joint_iters * high_iter_ratio)
         spans = []
         if lo_end >= 0:
             spans.append(("low", 0, min(lo_end, num_joint_iters - 1)))
@@ -363,6 +386,7 @@ class Mapper:
         key: jax.Array,
         cur_depth_np: Optional[np.ndarray] = None,
         cur_c2w_np: Optional[np.ndarray] = None,
+        color_refine: bool = False,
     ) -> Tuple[Any, jax.Array, Dict[str, float]]:
         """One mapped frame: fresh Adam state + staged scans
         (ref: src/Mapper.py:262-484).
@@ -370,15 +394,24 @@ class Mapper:
         Args:
             frames_color/depth/c2w: the optimization window (selected
                 keyframes + current frame stacked; F frames).
+            color_refine: final-frame color-only refinement
+                (ref: src/Mapper.py:532-539) — color stage only, color
+                decoder frozen, no frustum selection. Expressed as per-call
+                overrides so the Mapper is never mutated (safe under resume
+                / re-entrant run()).
 
         Returns:
             (updated params, new PRNG key, {stage: last-iter loss}).
         """
         F = frames_color.shape[0]
         pixs_per_image = self.mapping_pixels // F
+        low_ratio = 0.0 if color_refine else None
+        high_ratio = 0.0 if color_refine else None
+        fix_color = True if color_refine else self.scene_cfg.fix_color
+        use_frustum = self.frustum_feature_selection and not color_refine
 
         frustum_masks = None
-        if self.frustum_feature_selection and cur_depth_np is not None:
+        if use_frustum and cur_depth_np is not None:
             if self._grid_shapes is None:
                 self._grid_shapes = {
                     k: tuple(params[k].shape[:3]) for k in GRID_KEYS
@@ -398,12 +431,13 @@ class Mapper:
 
         adam_state = adam_init(params)
         losses: Dict[str, float] = {}
-        for stage, s, e in self._stage_schedule(num_joint_iters):
+        for stage, s, e in self._stage_schedule(num_joint_iters, low_ratio, high_ratio):
             n = e - s + 1
             key, sub = jax.random.split(key)
             iter_keys = jax.random.split(sub, n)
             # warm-up w-regularizer iters (ref: Mapper.py:459-461)
-            lo_end = int(num_joint_iters * self.low_iter_ratio)
+            eff_low = self.low_iter_ratio if low_ratio is None else low_ratio
+            lo_end = int(num_joint_iters * eff_low)
             w_flags = np.array(
                 [
                     1.0 if (idx <= 1 and lo_end < (s + i) <= lo_end + 5) else 0.0
@@ -429,9 +463,10 @@ class Mapper:
                 pixs_per_image,
                 self.cam,
                 self.rcfg,
-                (self.scene_cfg.fix_high, self.scene_cfg.fix_color),
+                (self.scene_cfg.fix_high, fix_color),
                 self.w_color_loss,
                 frustum_masks is not None,
+                self.ray_sharding,
             )
             losses[stage] = float(stage_losses[-1])
         return params, key, losses

@@ -136,16 +136,37 @@ class SLAMSystem:
             occupancy=bool(cfg.get("occupancy", True)),
         )
 
+        # --- multi-chip data parallelism (this framework's scale axis;
+        # the reference is single-GPU, SURVEY §2.3) ---
+        from attentive_dfprior_tpu.parallel.sharding import (
+            mesh_from_config,
+            ray_sharding,
+            replicate,
+        )
+
+        self.mesh = mesh_from_config(cfg)
+        self.ray_sharding = ray_sharding(self.mesh)
+        if self.mesh is not None:
+            # scene params + prior volume replicated across the mesh; ray
+            # batches get sharded inside the jitted steps (constrain_rays)
+            self.params = replicate(self.mesh, self.params)
+            self.tsdf_volume = replicate(self.mesh, self.tsdf_volume)
+            print(
+                f"parallel: ray-axis DP over {len(self.mesh.devices.flat)} "
+                f"devices ({self.mesh.devices.flat[0].platform})"
+            )
+
         # --- agents + side outputs ---
         self.renderer = Renderer(
             self.rcfg, self.scene_cfg.bound, self.tsdf_bnds, self.cam
         )
         self.mapper = Mapper(
-            cfg, self.cam, self.scene_cfg, self.rcfg, self.tsdf_volume, self.tsdf_bnds
+            cfg, self.cam, self.scene_cfg, self.rcfg, self.tsdf_volume,
+            self.tsdf_bnds, ray_sharding=self.ray_sharding,
         )
         self.tracker = Tracker(
             cfg, self.cam, self.rcfg, self.scene_cfg.bound, self.tsdf_volume,
-            self.tsdf_bnds,
+            self.tsdf_bnds, ray_sharding=self.ray_sharding,
         )
         self.mesher = Mesher(cfg, self.cam, self.scene_cfg.bound, self.tsdf_bnds)
         self.logger = Logger(os.path.join(self.output, "ckpts"), self.verbose)
@@ -228,9 +249,11 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------
 
-    def _select_window(self, cur_color, cur_depth, cur_c2w):
+    def _select_window(self, cur_color, cur_depth, cur_c2w, window_size=None):
         """Build the optimization window: overlap-selected keyframes + the
         most recent keyframe + current frame (ref: src/Mapper.py:288-304)."""
+        if window_size is None:
+            window_size = self.mapper.mapping_window_size
         K = len(self.keyframes)
         sel: list = []
         if K > 0:
@@ -240,7 +263,7 @@ class SLAMSystem:
                     cur_depth,
                     cur_c2w.astype(np.float64),
                     self.keyframes.poses_np()[: K - 1],
-                    self.mapper.mapping_window_size - 2,
+                    window_size - 2,
                     self.cam.H,
                     self.cam.W,
                     self.cam.fx,
@@ -249,7 +272,7 @@ class SLAMSystem:
                     self.cam.cy,
                 )
             elif self.mapper.keyframe_selection_method == "global" and K > 1:
-                num = self.mapper.mapping_window_size - 2
+                num = window_size - 2
                 perm = self._np_rng.permutation(K - 1)
                 sel = [int(i) for i in perm[:num]]
             sel = sel + [K - 1]
@@ -272,29 +295,31 @@ class SLAMSystem:
 
     def _map_frame(self, idx, color, depth, c2w, gt_c2w, first: bool):
         t0 = time.time()
+        color_refine = (
+            not first and idx == self.n_img - 1 and self.color_refine
+        )
+        window_size = None
         if first:
             num_iters = self.mapper.iters_first
             lr_factor = self.mapper.lr_first_factor
             outer = 1
-        elif idx == self.n_img - 1 and self.color_refine:
-            # final color refinement (ref: src/Mapper.py:532-539)
+        elif color_refine:
+            # final color refinement (ref: src/Mapper.py:532-539) — all
+            # overrides are per-call; the Mapper object is never mutated
+            # (safe under resume / re-entrant run())
             outer = 5
             num_iters = self.mapper.num_joint_iters
             lr_factor = self.mapper.lr_factor
-            self.mapper.mapping_window_size *= 2
-            self.mapper.low_iter_ratio = 0.0
-            self.mapper.high_iter_ratio = 0.0
-            self.mapper.scene_cfg = self.mapper.scene_cfg.__class__(
-                **{**self.mapper.scene_cfg.__dict__, "fix_color": True}
-            )
-            self.mapper.frustum_feature_selection = False
+            window_size = self.mapper.mapping_window_size * 2
         else:
             num_iters = self.mapper.num_joint_iters
             lr_factor = self.mapper.lr_factor
             outer = 1
 
         for _ in range(outer):
-            f_color, f_depth, f_c2w = self._select_window(color, depth, c2w)
+            f_color, f_depth, f_c2w = self._select_window(
+                color, depth, c2w, window_size=window_size
+            )
             if self.save_selected_keyframes_info:
                 # (ref: src/Mapper.py:306-319)
                 self.selected_keyframes[idx] = [
@@ -311,6 +336,7 @@ class SLAMSystem:
                 self.key,
                 cur_depth_np=np.asarray(depth),
                 cur_c2w_np=c2w,
+                color_refine=color_refine,
             )
         self.timings["map"] += time.time() - t0
 

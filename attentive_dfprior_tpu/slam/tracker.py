@@ -45,12 +45,16 @@ def tracking_loss_fn(
     handle_dynamic: bool,
     use_color: bool,
     w_color_loss: float,
+    ray_sharding=None,
 ) -> jnp.ndarray:
     """One tracking iteration's loss (ref: src/Tracker.py:75-134).
 
     Renders `batch_size` rays at the pose given by ``camera_tensor`` and
     computes the uncertainty-normalized depth L1 with the dynamic-pixel
     rejection mask (err < 10 * median), plus optional color L1.
+
+    With ``ray_sharding``, the ray batch is split across the dp mesh axis;
+    the 7-DoF pose gradient reduction becomes an XLA-inserted psum.
     """
     c2w = pose_matrix_from_tensor(camera_tensor)  # (3, 4), differentiable
     H, W = cam.H, cam.W
@@ -69,6 +73,10 @@ def tracking_loss_fn(
         depth_im,
         color_im,
     )
+    if ray_sharding is not None:
+        from attentive_dfprior_tpu.parallel.sharding import constrain_rays
+
+        ro, rd, gd, gc = constrain_rays(ray_sharding, ro, rd, gd, gc)
     # in-bound filter as loss mask (ref: Tracker.py:100-110)
     t = ray_bound_intersection(
         jax.lax.stop_gradient(ro), jax.lax.stop_gradient(rd), bound
@@ -111,6 +119,7 @@ def tracking_loss_fn(
         "w_color_loss",
         "cam_lr",
         "seperate_LR",
+        "ray_sharding",
     ),
 )
 def track_frame(
@@ -133,6 +142,7 @@ def track_frame(
     w_color_loss: float,
     cam_lr: float,
     seperate_LR: bool = False,
+    ray_sharding=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Optimize the camera tensor for one frame; return the best candidate.
 
@@ -174,6 +184,7 @@ def track_frame(
             handle_dynamic,
             use_color,
             w_color_loss,
+            ray_sharding,
         )
         if seperate_LR:
             grads = {"quad": grads_t[:4], "T": grads_t[4:]}
@@ -201,8 +212,10 @@ class Tracker:
         bound: np.ndarray,
         tsdf_volume,
         tsdf_bnds,
+        ray_sharding=None,
     ):
         t = cfg["tracking"]
+        self.ray_sharding = ray_sharding
         self.cam = cam
         self.rcfg = rcfg
         self.bound = jnp.asarray(bound, dtype=jnp.float32)
@@ -269,6 +282,7 @@ class Tracker:
             self.w_color_loss,
             self.cam_lr,
             self.seperate_LR,
+            self.ray_sharding,
         )
         c2w = np.asarray(homogenize(pose_matrix_from_tensor(best)))
         return c2w.astype(np.float32), key, float(losses[-1])

@@ -28,6 +28,13 @@ def main():
     parser.add_argument("--resume", action="store_true", help="resume from the latest checkpoint")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--end_idx", type=int, default=None, help="stop after this frame (debug)")
+    parser.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize jax.distributed for a multi-host TPU slice "
+        "(coordinator/process env per JAX conventions); equivalent to "
+        "parallel.multihost: True in the config",
+    )
     args = parser.parse_args()
 
     setup_seed(args.seed)
@@ -41,6 +48,19 @@ def main():
 
     cfg = load_config(args.config, default_config_path())
     cfg["seed"] = args.seed
+
+    # Multi-host entry: each host runs this same script; jax.distributed
+    # wires the hosts into one slice-wide runtime (coordinator address etc.
+    # come from the TPU metadata / JAX_COORDINATOR_ADDRESS env). Must run
+    # BEFORE any other jax API touches the backend.
+    if args.multihost or bool(cfg.get("parallel", {}).get("multihost", False)):
+        import jax
+
+        jax.distributed.initialize()
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
     slam = SLAMSystem(cfg, args)
 
     start = 0
