@@ -147,6 +147,14 @@ def sample_feature_grid(
 # segmented reduction (cumsum + associative scan), and performs a single
 # UNIQUE-index scatter, which XLA can vectorize. Select with
 # DFPRIOR_TRILINEAR_VJP=sorted.
+#
+# MEASURED ON TPU (2026-08-19, room0 high grid 74x56x44x32): at N=4,800
+# points, xla 2.56 ms vs sorted 4.64 ms per backward (sorted also pays an
+# 84 s compile); at the reference workload N=48,000 the sorted variant did
+# not finish compiling in 10 minutes (the associative_scan's log-depth
+# structure blows up XLA), while xla runs 9.5 ms with a 2 s compile.
+# VERDICT: the default stays "xla"; this variant is kept as an
+# env-selectable experiment only.
 
 
 def _segmented_unique_scatter(

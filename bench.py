@@ -117,7 +117,32 @@ def main():
     rays_per_cycle = PIXELS * sum(MAP_ITERS.values()) + 5 * TRACK_PIXELS * TRACK_ITERS
     rays_per_s = rays_per_cycle * REPS / elapsed
 
-    BASELINE_RAYS_PER_S = 12_000.0  # documented estimate, see module docstring
+    # ---- honest accounting extras (VERDICT r1 item 8) ----
+    # point evals: every ray evaluates N_samples + N_surface = 48 scene
+    # points through the decoder stack
+    samples_per_ray = rcfg.N_samples + rcfg.N_surface
+    point_evals_per_s = rays_per_s * samples_per_ray
+
+    # analytic FLOPs/point: 2*sum(W) per matmul forward; backward ~2x the
+    # forward => 6*sum(W) per optimized point (tracking points are
+    # forward + pose-only backward, but we use the same factor as an upper
+    # bound). The color stage runs low+high+color decoders + the attention
+    # MLP, so sum over ALL weight matrices.
+    def _mat_flops(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return sum(2 * x.size for x in leaves if getattr(x, "ndim", 0) == 2)
+
+    flops_fwd_per_point = sum(
+        _mat_flops(params[k]) for k in ("low", "high", "color", "mlp")
+    )
+    est_flops_per_s = 3.0 * flops_fwd_per_point * point_evals_per_s
+    # assumed f32 peak for one modern TPU chip's MXU (~2.2e14 f32 FLOP/s,
+    # v5p-class); the kernel is gather/bandwidth-heavy so MFU is expected
+    # to be low — reported for trend tracking, not as a claim
+    ASSUMED_PEAK_F32 = 2.2e14
+    est_mfu = est_flops_per_s / ASSUMED_PEAK_F32
+
+    BASELINE_RAYS_PER_S = 12_000.0  # documented ESTIMATE, see module docstring
     print(
         json.dumps(
             {
@@ -125,6 +150,14 @@ def main():
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
+                "vs_baseline_note": (
+                    "denominator is a documented estimate (12k rays/s, "
+                    "NICE-SLAM-lineage desktop GPU); the reference repo "
+                    "publishes no numbers (BASELINE.md)"
+                ),
+                "point_evals_per_s": round(point_evals_per_s, 1),
+                "est_model_flops_per_s": round(est_flops_per_s, 1),
+                "est_mfu_vs_2.2e14_f32_peak": round(est_mfu, 4),
             }
         )
     )
