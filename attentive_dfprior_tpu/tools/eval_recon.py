@@ -125,14 +125,80 @@ def calc_3d_metric(
     }
 
 
+def _normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.linalg.norm(x)
+
+
+def viewmatrix(z: np.ndarray, up: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Look-at camera matrix (ref: eval_recon.py:23-29), columns
+    [right, up, forward, pos]."""
+    vec2 = _normalize(z)
+    vec0 = _normalize(np.cross(up, vec2))
+    vec1 = _normalize(np.cross(vec2, vec0))
+    return np.stack([vec0, vec1, vec2, pos], axis=1)
+
+
+def _pca_obb(verts: np.ndarray):
+    """Oriented bounding box via PCA (stand-in for trimesh
+    oriented_bounds, ref: eval_recon.py:129; PCA gives a near-minimal box
+    for room-shaped scenes — the only use is sampling interior camera
+    positions, so exact minimality is immaterial).
+
+    Returns (extents (3,), transform 4x4 mapping box coords -> world).
+    """
+    mean = verts.mean(0)
+    centered = verts - mean
+    cov = centered.T @ centered / len(verts)
+    _, vecs = np.linalg.eigh(cov)
+    R = vecs[:, ::-1]  # principal axes, largest variance first
+    if np.linalg.det(R) < 0:
+        R[:, 2] *= -1
+    proj = centered @ R
+    lo, hi = proj.min(0), proj.max(0)
+    extents = hi - lo
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = mean + R @ ((lo + hi) / 2)
+    return extents, T
+
+
 def get_cam_position(gt_verts: np.ndarray):
-    """Random interior camera placement helper (ref: eval_recon.py:70-82):
-    poses are sampled inside a shrunken scene bounding box."""
-    lo = gt_verts.min(0)
-    hi = gt_verts.max(0)
-    ext = hi - lo
-    center = (hi + lo) / 2
-    return lo + 0.1 * ext, hi - 0.1 * ext, center
+    """Interior camera-position box (ref: eval_recon.py:128-136): the GT
+    mesh's oriented bounding box with extents scaled [0.3, 0.7, 0.7] and the
+    box center lifted +0.4 along world z."""
+    extents, transform = _pca_obb(gt_verts)
+    extents = extents.copy()
+    extents[2] *= 0.7
+    extents[1] *= 0.7
+    extents[0] *= 0.3
+    transform = transform.copy()
+    transform[2, 3] += 0.4
+    return extents, transform
+
+
+def check_proj(
+    points: np.ndarray, W: int, H: int, fx, fy, cx, cy, c2w: np.ndarray
+) -> bool:
+    """True if ANY of ``points`` projects inside the view
+    (ref: eval_recon.py:70-96: y/z axis flip then the -x camera-coordinate
+    convention)."""
+    if len(points) == 0:
+        return False
+    c2w = c2w.copy()
+    c2w[:3, 1] *= -1.0
+    c2w[:3, 2] *= -1.0
+    w2c = np.linalg.inv(c2w)
+    homo = np.concatenate([points, np.ones((len(points), 1))], axis=1)
+    cam = (w2c @ homo.T).T[:, :3]
+    cam[:, 0] *= -1
+    z = cam[:, 2:3] + 1e-5
+    u = fx * cam[:, 0:1] / z + cx
+    v = fy * cam[:, 1:2] / z + cy
+    mask = (
+        (0 <= -z[:, 0]) & (u[:, 0] < W) & (u[:, 0] > 0)
+        & (v[:, 0] < H) & (v[:, 0] > 0)
+    )
+    return bool(mask.any())
 
 
 def calc_2d_metric(
@@ -140,61 +206,81 @@ def calc_2d_metric(
     rec_faces: np.ndarray,
     gt_verts: np.ndarray,
     gt_faces: np.ndarray,
+    pc_unseen: Optional[np.ndarray] = None,
     n_imgs: int = 1000,
     seed: int = 0,
     H: int = 500,
     W: int = 500,
     focal: float = 300.0,
+    align: bool = True,
 ) -> Optional[dict]:
-    """Depth-L1 over random interior views (ref: eval_recon.py:139-218).
+    """Depth-L1 over random interior views — the REFERENCE protocol
+    (ref: eval_recon.py:139-218), step for step:
 
-    Views whose GT render contains holes (unseen regions) are rejected, like
-    the reference's unseen-region check.
+      1. rec mesh ICP-aligned to GT (ref :152-154; ``align``).
+      2. camera origin sampled uniformly inside the GT oriented-bounding-box
+         interior (extents x [0.3, 0.7, 0.7], +0.4 z lift, ref :155-157).
+      3. look target uniform in [-10000, 10000]^3, up = [0, 0, -1],
+         c2w = viewmatrix(target - origin, up, origin) (ref :170-180).
+      4. view REJECTED if any point of the unseen-region GT pointcloud
+         (``pc_unseen``, the reference's ``*_pc_unseen.npy``; produced here
+         by tools/cull_mesh.py --save_unseen_pc) projects into it
+         (ref :181-183).
+      5. depth rendered at 500x500, f=300 for GT and rec
+         (o3d offscreen in the reference; our native C++ z-buffer
+         rasterizer here), error = mean |gt - rec| over ALL pixels —
+         no validity masking (ref :185-216).
     """
+    import random as _random
+
     from attentive_dfprior_tpu import native
 
     if not native.available():
         print("WARNING: native rasterizer unavailable; skipping 2D metric")
         return None
 
+    if pc_unseen is None:
+        pc_unseen = np.zeros((0, 3))
+    if align:
+        T = icp_align(rec_verts[:: max(1, len(rec_verts) // 20000)],
+                      gt_verts[:: max(1, len(gt_verts) // 20000)])
+        rec_verts = rec_verts @ T[:3, :3].T + T[:3, 3]
+
     rng = np.random.default_rng(seed)
-    lo, hi, center = get_cam_position(gt_verts)
-    cx, cy = W / 2 - 0.5, H / 2 - 0.5
+    _random.seed(seed)
+    extents, transform = get_cam_position(gt_verts)
+    fx = fy = focal
+    cx, cy = H / 2.0 - 0.5, W / 2.0 - 0.5
 
     errors = []
-    tries = 0
-    while len(errors) < n_imgs and tries < n_imgs * 10:
-        tries += 1
-        eye = rng.uniform(lo, hi)
-        # random look direction
-        d = rng.normal(size=3)
-        d /= np.linalg.norm(d)
-        up = np.array([0.0, 1.0, 0.0])
-        if abs(np.dot(up, d)) > 0.95:
-            up = np.array([1.0, 0.0, 0.0])
-        right = np.cross(d, up)
-        right /= np.linalg.norm(right)
-        up2 = np.cross(right, d)
-        # OpenCV convention: +z forward
-        c2w = np.eye(4)
-        c2w[:3, 0] = right
-        c2w[:3, 1] = up2
-        c2w[:3, 2] = d
-        c2w[:3, 3] = eye
-        w2c = np.linalg.inv(c2w)
+    for _ in range(n_imgs):
+        for _try in range(2000):
+            # sample inside the OBB interior (trimesh volume_rectangular)
+            local = (rng.uniform(size=3) - 0.5) * extents
+            origin = transform[:3, :3] @ local + transform[:3, 3]
+            target = np.array(
+                [
+                    round(_random.uniform(-10000, 10000), 2),
+                    round(_random.uniform(-10000, 10000), 2),
+                    round(_random.uniform(-10000, 10000), 2),
+                ]
+            ) - origin
+            c2w = np.eye(4)
+            c2w[:3, :] = viewmatrix(target, np.array([0.0, 0.0, -1.0]), origin)
+            if not check_proj(pc_unseen, W, H, fx, fy, cx, cy, c2w):
+                break
+        else:
+            return None  # cannot find an unseen-free view
 
+        w2c = np.linalg.inv(c2w)
         gt_depth = native.rasterize_depth(
-            gt_verts, gt_faces, w2c, focal, focal, cx, cy, H, W
+            gt_verts, gt_faces, w2c, fx, fy, cx, cy, H, W
         )
-        if (gt_depth == 0).mean() > 0.02:  # sees unseen region -> reject
-            continue
         rec_depth = native.rasterize_depth(
-            rec_verts, rec_faces, w2c, focal, focal, cx, cy, H, W
+            rec_verts, rec_faces, w2c, fx, fy, cx, cy, H, W
         )
-        valid = (gt_depth > 0) & (rec_depth > 0)
-        if valid.mean() < 0.5:
-            continue
-        errors.append(np.abs(gt_depth[valid] - rec_depth[valid]).mean())
+        # full-image mean, no masking (ref :216)
+        errors.append(np.abs(gt_depth - rec_depth).mean())
 
     if not errors:
         return None
@@ -208,6 +294,12 @@ def main():
     parser.add_argument("-3d", "--metric_3d", action="store_true")
     parser.add_argument("-2d", "--metric_2d", action="store_true")
     parser.add_argument("--n_imgs", type=int, default=1000)
+    parser.add_argument(
+        "--pc_unseen",
+        help=".npy unseen-region pointcloud (reference *_pc_unseen.npy "
+        "layout, or tools/cull_mesh.py --save_unseen_pc output); defaults "
+        "to <gt_mesh stem>_pc_unseen.npy when present",
+    )
     args = parser.parse_args()
 
     rec_v, rec_f, _ = read_ply(args.rec_mesh)
@@ -215,7 +307,19 @@ def main():
     if args.metric_3d or not args.metric_2d:
         print(calc_3d_metric(rec_v, rec_f, gt_v, gt_f))
     if args.metric_2d:
-        print(calc_2d_metric(rec_v, rec_f, gt_v, gt_f, n_imgs=args.n_imgs))
+        import os
+
+        pc_path = args.pc_unseen or args.gt_mesh.replace(".ply", "_pc_unseen.npy")
+        pc_unseen = np.load(pc_path) if os.path.exists(pc_path) else None
+        if pc_unseen is None:
+            print(f"WARNING: no unseen pointcloud at {pc_path}; "
+                  "views will not be rejected")
+        print(
+            calc_2d_metric(
+                rec_v, rec_f, gt_v, gt_f, pc_unseen=pc_unseen,
+                n_imgs=args.n_imgs,
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -135,3 +135,88 @@ class TestCullMesh:
             v + np.array([0, 0, 6.0]), f, pose, H=100, W=100, fx=50, fy=50, cx=50, cy=50
         )
         assert len(f3) == 0
+
+
+def make_box_room(half=2.0):
+    """Closed axis-aligned box (a 'room' when cameras are inside)."""
+    s = half
+    v = np.array(
+        [[-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s],
+         [-s, -s, s], [s, -s, s], [s, s, s], [-s, s, s]], dtype=np.float64,
+    )
+    f = np.array(
+        [[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],
+         [0, 4, 5], [0, 5, 1], [3, 2, 6], [3, 6, 7],
+         [0, 3, 7], [0, 7, 4], [1, 5, 6], [1, 6, 2]], dtype=np.int64,
+    )
+    return v, f
+
+
+class Test2DDepthL1:
+    """Faithful reference 2D depth-L1 protocol (VERDICT r1 item 7):
+    OBB-interior pose sampling, viewmatrix(up=[0,0,-1]), unseen-pointcloud
+    rejection, full-image |gt-rec| mean (ref: src/tools/eval_recon.py:139-218)."""
+
+    def test_gt_vs_gt_is_zero(self):
+        from attentive_dfprior_tpu import native
+        from attentive_dfprior_tpu.tools.eval_recon import calc_2d_metric
+
+        if not native.available():
+            pytest.skip("native rasterizer unavailable")
+        v, f = make_box_room()
+        res = calc_2d_metric(
+            v, f, v, f, pc_unseen=np.zeros((0, 3)), n_imgs=10, align=False
+        )
+        assert res is not None and res["n_views"] == 10
+        assert res["depth_l1_cm"] == 0.0
+
+    def test_unseen_region_rejects_views(self):
+        from attentive_dfprior_tpu import native
+        from attentive_dfprior_tpu.tools.eval_recon import calc_2d_metric
+
+        if not native.available():
+            pytest.skip("native rasterizer unavailable")
+        v, f = make_box_room()
+        # unseen points covering every wall: any interior view contains
+        # some of them -> the sampler must give up and return None
+        rng = np.random.default_rng(0)
+        pc = sample_surface(v, f, 2000, rng)
+        res = calc_2d_metric(v, f, v, f, pc_unseen=pc, n_imgs=3, align=False)
+        assert res is None
+
+    def test_detects_geometry_error(self):
+        from attentive_dfprior_tpu import native
+        from attentive_dfprior_tpu.tools.eval_recon import calc_2d_metric
+
+        if not native.available():
+            pytest.skip("native rasterizer unavailable")
+        v, f = make_box_room()
+        v_shrunk = v * 0.95  # 5% smaller room: walls ~10 cm closer
+        res = calc_2d_metric(
+            v, f, v_shrunk, f, pc_unseen=np.zeros((0, 3)), n_imgs=10,
+            align=False,
+        )
+        assert res is not None
+        assert 1.0 < res["depth_l1_cm"] < 100.0
+
+
+class TestUnseenPointcloud:
+    def test_unseen_pc_from_trajectory(self):
+        from attentive_dfprior_tpu.tools.cull_mesh import unseen_pointcloud
+
+        v, f = make_sphere_mesh(r=0.5)
+        v = v + np.array([0.0, 0.0, -3.0])  # in front (OpenGL -z forward)
+        pose = np.eye(4)[None]
+        pc_front = unseen_pointcloud(
+            v, f, pose, n_samples=500, H=100, W=100, fx=50, fy=50, cx=50, cy=50
+        )
+        pc_behind = unseen_pointcloud(
+            v + np.array([0, 0, 6.0]), f, pose, n_samples=500,
+            H=100, W=100, fx=50, fy=50, cx=50, cy=50,
+        )
+        # behind the camera everything is unseen; in front, the visible
+        # hemisphere is excluded so far fewer faces contribute
+        assert len(pc_behind) == 500
+        assert len(pc_front) < 500 or (
+            pc_front[:, 2].min() < -3.0  # only back-hemisphere samples
+        )
