@@ -87,5 +87,8 @@ def save_tsdf_volume(cfg: Dict[str, Any], args=None, space: int = 10) -> str:
         bounds=bounds,
         voxel_size=np.float32(voxel_size),
         space=np.int32(space),
+        # observedness mask (fusion weight > 0): lets the mesher fill
+        # never-observed voxels without refusing (see fusion.device_volume)
+        observed=np.asarray(vol.observed_mask()),
     )
     return out

@@ -190,8 +190,52 @@ class TSDFVolume:
         )
 
     def device_volume(self) -> jnp.ndarray:
-        """The on-device (X, Y, Z) TSDF array (used directly by the renderer)."""
+        """The on-device (X, Y, Z) TSDF array, bit-faithful to the reference
+        (unobserved voxels stay at the -1 init, ref: src/fusion.py:52)."""
         return self._tsdf
+
+    def observed_mask(self) -> np.ndarray:
+        """(X, Y, Z) bool: voxels touched by at least one depth frame."""
+        return np.asarray(self._weight) > 0
+
+
+def fill_unobserved_volume(
+    tsdf: np.ndarray, observed: np.ndarray, mode: str = "nearest"
+) -> np.ndarray:
+    """Fill never-observed voxels for SURFACE EXTRACTION.
+
+    The reference initializes unobserved voxels to -1, i.e. "occupied"
+    (ref: src/fusion.py:52). That is the right volume for training and
+    tracking — the in-band transition at observation boundaries acts as a
+    fence that stabilizes pose optimization (measured on the synthetic
+    probe: perturbed-pose recovery 0.8 cm with the -1 init vs 3.6 cm with
+    any filled volume). But for MESHING it is poison under partial
+    coverage: trilinear interpolation between a -1 unobserved voxel and an
+    observed in-band neighbor passes through the attentive-blend band and
+    manufactures phantom surfaces in unobserved air (measured: mesh
+    accuracy 6.5 cm -> 2.2 cm when filled). Hence two volumes: the mapper/
+    tracker consume the reference-faithful one, the mesher queries this
+    filled one.
+
+    Modes: "nearest" (saturate to the sign of the nearest observed voxel —
+    introduces no spurious crossing on either side), "free" (+1),
+    "reference" (no-op).
+    """
+    if mode == "reference":
+        return tsdf
+    if not observed.any() or observed.all():
+        return tsdf
+    if mode == "free":
+        return np.where(observed, tsdf, np.float32(1.0))
+    if mode != "nearest":
+        raise ValueError(f"unknown fill_unobserved mode {mode!r}")
+    from scipy import ndimage
+
+    ix = ndimage.distance_transform_edt(
+        ~observed, return_distances=False, return_indices=True
+    )
+    nearest_sign = np.where(tsdf[tuple(ix)] >= 0, 1.0, -1.0).astype(tsdf.dtype)
+    return np.where(observed, tsdf, nearest_sign)
 
     def get_mesh(self):
         """Marching-cubes surface of the fused TSDF (level 0), world coords.

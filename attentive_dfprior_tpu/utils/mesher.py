@@ -66,6 +66,7 @@ class Mesher:
             mcfg["remove_small_geometry_threshold"]
         )
         self.get_largest_components = bool(mcfg["get_largest_components"])
+        self.remove_hull_artifacts = bool(mcfg.get("remove_hull_artifacts", True))
         self.points_batch_size = points_batch_size
         # Meshing is a pure-forward query: route decoder MLPs through the
         # fused Pallas kernel when on a TPU backend.
@@ -233,6 +234,26 @@ class Mesher:
             print("marching_cubes: no surface extracted")
             return None
         verts = verts + np.array([xs[0], ys[0], zs[0]])
+
+        if self.remove_hull_artifacts and len(verts) > 0:
+            # The out-of-hull occ=100 override (matching ref: Mesher.py:450)
+            # manufactures a zero-crossing sheet AT the convex-hull boundary.
+            # On full-coverage trajectories the hull hugs the walls and the
+            # sheet hides behind real surfaces, but on partial scans the hull
+            # cuts through unobserved air and the sheet survives frustum
+            # culling as large mid-air "walls". Real surface vertices sit at
+            # the learned field's zero crossing (|occ| ~ 0 after marching
+            # interpolation); hull-sheet vertices sit in decisively free
+            # space. Re-query the field and drop faces whose vertices are
+            # all clearly free. (Improvement over the reference, which keeps
+            # these artifacts; disable with meshing.remove_hull_artifacts.)
+            occ_v = self.eval_points(
+                params, verts.astype(np.float32), tsdf_volume, stage="high"
+            )[:, 3]
+            clearly_free = occ_v < -0.5
+            keep = ~clearly_free[faces].all(axis=1)
+            faces = faces[keep]
+            verts, faces = reindex_mesh(verts, faces)
 
         if clean_mesh and len(kf_c2w) > 0:
             kf_max_d = np.array([d.max() for d in kf_depths])
