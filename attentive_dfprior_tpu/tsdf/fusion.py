@@ -199,6 +199,44 @@ class TSDFVolume:
         return np.asarray(self._weight) > 0
 
 
+    def get_mesh(self):
+        """Marching-cubes surface of the fused TSDF (level 0), world coords.
+
+        Returns (verts, faces, normals, colors_uint8) like the reference
+        (ref: fusion.py:324-341). Faces touching unobserved voxels
+        (fusion weight == 0) are dropped — observed-free <-> unobserved
+        boundaries are not real surfaces (open3d's ScalableTSDFVolume masks
+        them implicitly via its weight threshold).
+        """
+        from attentive_dfprior_tpu.utils.marching_cubes import (
+            _vertex_normals,
+            marching_cubes,
+        )
+        from attentive_dfprior_tpu.utils.mesh import reindex_mesh
+
+        tsdf, color, _ = self.get_volume()
+        weight = np.asarray(self._weight)
+        verts, faces, _ = marching_cubes(tsdf, level=0.0)
+        if len(verts):
+            vidx = np.clip(np.round(verts).astype(int), 0, np.array(tsdf.shape) - 1)
+            observed = weight[vidx[:, 0], vidx[:, 1], vidx[:, 2]] > 0
+            faces = faces[observed[faces].all(axis=1)]
+            verts, faces = reindex_mesh(verts, faces)
+        normals = _vertex_normals(verts, faces)
+        if len(verts):
+            vidx = np.clip(np.round(verts).astype(int), 0, np.array(tsdf.shape) - 1)
+            colors = color[vidx[:, 0], vidx[:, 1], vidx[:, 2]].astype(np.uint8)
+        else:
+            colors = np.zeros((0, 3), np.uint8)
+        verts = verts * self._voxel_size + self._vol_origin
+        return verts, faces, normals, colors
+
+    def get_point_cloud(self) -> np.ndarray:
+        """(N, 6) xyz + rgb surface point cloud (ref: fusion.py:303-322)."""
+        verts, _, _, colors = self.get_mesh()
+        return np.hstack([verts, colors.astype(np.float64)])
+
+
 def fill_unobserved_volume(
     tsdf: np.ndarray, observed: np.ndarray, mode: str = "nearest"
 ) -> np.ndarray:
@@ -236,40 +274,3 @@ def fill_unobserved_volume(
     )
     nearest_sign = np.where(tsdf[tuple(ix)] >= 0, 1.0, -1.0).astype(tsdf.dtype)
     return np.where(observed, tsdf, nearest_sign)
-
-    def get_mesh(self):
-        """Marching-cubes surface of the fused TSDF (level 0), world coords.
-
-        Returns (verts, faces, normals, colors_uint8) like the reference
-        (ref: fusion.py:324-341). Faces touching unobserved voxels
-        (fusion weight == 0) are dropped — observed-free <-> unobserved
-        boundaries are not real surfaces (open3d's ScalableTSDFVolume masks
-        them implicitly via its weight threshold).
-        """
-        from attentive_dfprior_tpu.utils.marching_cubes import (
-            _vertex_normals,
-            marching_cubes,
-        )
-        from attentive_dfprior_tpu.utils.mesh import reindex_mesh
-
-        tsdf, color, _ = self.get_volume()
-        weight = np.asarray(self._weight)
-        verts, faces, _ = marching_cubes(tsdf, level=0.0)
-        if len(verts):
-            vidx = np.clip(np.round(verts).astype(int), 0, np.array(tsdf.shape) - 1)
-            observed = weight[vidx[:, 0], vidx[:, 1], vidx[:, 2]] > 0
-            faces = faces[observed[faces].all(axis=1)]
-            verts, faces = reindex_mesh(verts, faces)
-        normals = _vertex_normals(verts, faces)
-        if len(verts):
-            vidx = np.clip(np.round(verts).astype(int), 0, np.array(tsdf.shape) - 1)
-            colors = color[vidx[:, 0], vidx[:, 1], vidx[:, 2]].astype(np.uint8)
-        else:
-            colors = np.zeros((0, 3), np.uint8)
-        verts = verts * self._voxel_size + self._vol_origin
-        return verts, faces, normals, colors
-
-    def get_point_cloud(self) -> np.ndarray:
-        """(N, 6) xyz + rgb surface point cloud (ref: fusion.py:303-322)."""
-        verts, _, _, colors = self.get_mesh()
-        return np.hstack([verts, colors.astype(np.float64)])
