@@ -120,6 +120,7 @@ def tracking_loss_fn(
         "cam_lr",
         "seperate_LR",
         "ray_sharding",
+        "lr_final_factor",
     ),
 )
 def track_frame(
@@ -143,6 +144,7 @@ def track_frame(
     cam_lr: float,
     seperate_LR: bool = False,
     ray_sharding=None,
+    lr_final_factor: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Optimize the camera tensor for one frame; return the best candidate.
 
@@ -150,6 +152,13 @@ def track_frame(
     the recorded candidate is the post-step tensor whose *pre-step* loss was
     minimal. With ``seperate_LR``, the quaternion gets 0.2x the translation
     LR (ref: Tracker.py:213-224).
+
+    ``lr_final_factor`` < 1 decays the LR exponentially to
+    cam_lr * lr_final_factor over the iterations (the reference uses a
+    constant LR). Near the loss minimum Adam's normalized steps keep
+    bouncing by ~lr, leaving mm-level per-frame pose noise that keyframe
+    baking random-walks into cm-level ATE on fine-scale scenes; decaying the
+    terminal LR removes that noise floor. Default 1.0 = reference behavior.
 
     Returns:
         best_camera_tensor (7,), losses (n_iters,), final_tensor (7,).
@@ -164,8 +173,14 @@ def track_frame(
         assemble = lambda p: p["cam"]
     astate = adam_init(cam_params)
     keys = jax.random.split(key, n_iters)
+    if lr_final_factor < 1.0 and n_iters > 1:
+        t = jnp.arange(n_iters, dtype=jnp.float32) / (n_iters - 1)
+        lr_scales = jnp.power(jnp.float32(lr_final_factor), t)
+    else:
+        lr_scales = jnp.ones((n_iters,), jnp.float32)
 
-    def one_iter(carry, k):
+    def one_iter(carry, xs):
+        k, lr_scale = xs
         cam_p, ast, best_loss, best_tensor = carry
         loss, grads_t = jax.value_and_grad(tracking_loss_fn)(
             assemble(cam_p),
@@ -190,14 +205,17 @@ def track_frame(
             grads = {"quad": grads_t[:4], "T": grads_t[4:]}
         else:
             grads = {"cam": grads_t}
-        cam_p, ast = adam_update(cam_p, grads, ast, lr_tree)
+        scaled_lr = jax.tree_util.tree_map(lambda l: l * lr_scale, lr_tree)
+        cam_p, ast = adam_update(cam_p, grads, ast, scaled_lr)
         better = loss < best_loss
         best_loss = jnp.where(better, loss, best_loss)
         best_tensor = jnp.where(better, assemble(cam_p), best_tensor)
         return (cam_p, ast, best_loss, best_tensor), loss
 
     init = (cam_params, astate, jnp.inf, init_camera_tensor)
-    (cam_params, _, _, best_tensor), losses = jax.lax.scan(one_iter, init, keys)
+    (cam_params, _, _, best_tensor), losses = jax.lax.scan(
+        one_iter, init, (keys, lr_scales)
+    )
     return best_tensor, losses, assemble(cam_params)
 
 
@@ -233,6 +251,7 @@ class Tracker:
         self.use_color = bool(t["use_color_in_tracking"])
         self.const_speed = bool(t["const_speed_assumption"])
         self.seperate_LR = bool(t.get("seperate_LR", False))
+        self.lr_final_factor = float(t.get("lr_final_factor", 1.0))
 
     def initial_pose(
         self, idx: int, estimate_c2w_list: np.ndarray
@@ -283,6 +302,7 @@ class Tracker:
             self.cam_lr,
             self.seperate_LR,
             self.ray_sharding,
+            self.lr_final_factor,
         )
         c2w = np.asarray(homogenize(pose_matrix_from_tensor(best)))
         return c2w.astype(np.float32), key, float(losses[-1])

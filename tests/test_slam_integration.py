@@ -220,3 +220,39 @@ def test_async_sync_modes_run(cfg, tmp_path, sync):
     assert os.path.exists(os.path.join(out, "mesh", "final_mesh.ply"))
     records = open(os.path.join(out, "metrics.jsonl")).read()
     assert '"event": "map"' in records and '"event": "track"' in records
+
+
+def test_tracker_lr_decay_converges_tighter(slam_run):
+    """tracking.lr_final_factor < 1 decays the Adam LR over the iterations;
+    near the minimum this removes the +-lr terminal bounce, so the recovered
+    pose must be at least as good as the constant-LR reference behavior."""
+    from attentive_dfprior_tpu.ops.pose import (
+        homogenize,
+        pose_matrix_from_tensor,
+        pose_tensor_from_matrix,
+    )
+    from attentive_dfprior_tpu.slam.tracker import track_frame
+
+    idx, color, depth, gt_c2w = slam_run.dataset[3]
+    t = slam_run.tracker
+    init = gt_c2w.copy()
+    # mm-scale init: the decay targets the terminal +-lr bounce, which only
+    # dominates when the optimizer starts near the minimum (the tracking
+    # regime); from far inits an early decay starves convergence instead
+    init[:3, 3] += np.array([0.004, -0.003, 0.003], np.float32)
+    cam_tensor = jnp.asarray(pose_tensor_from_matrix(init))
+    args = (
+        slam_run.params, cam_tensor, jnp.asarray(color), jnp.asarray(depth),
+        slam_run.tsdf_volume_track, jnp.asarray(slam_run.tsdf_bnds),
+        jnp.asarray(slam_run.scene_cfg.bound, jnp.float32),
+        jax.random.PRNGKey(7), t.cam, t.rcfg, 400, 40, 5, 5,
+        True, True, 0.5, 1e-3, False, None,
+    )
+    errs = {}
+    for ff in (1.0, 0.05):
+        best, losses, _ = track_frame(*args, ff)
+        est = np.asarray(homogenize(pose_matrix_from_tensor(best)))
+        errs[ff] = np.linalg.norm(est[:3, 3] - gt_c2w[:3, 3])
+        assert np.isfinite(np.asarray(losses)).all()
+    # decay must not be worse than constant LR (allow small noise margin)
+    assert errs[0.05] <= errs[1.0] * 1.15, errs
