@@ -387,6 +387,8 @@ class Mapper:
         cur_depth_np: Optional[np.ndarray] = None,
         cur_c2w_np: Optional[np.ndarray] = None,
         color_refine: bool = False,
+        visualizer=None,
+        cur_color_np: Optional[np.ndarray] = None,
     ) -> Tuple[Any, jax.Array, Dict[str, float]]:
         """One mapped frame: fresh Adam state + staged scans
         (ref: src/Mapper.py:262-484).
@@ -399,6 +401,12 @@ class Mapper:
                 decoder frozen, no frustum selection. Expressed as per-call
                 overrides so the Mapper is never mutated (safe under resume
                 / re-entrant run()).
+            visualizer: when given and this frame passes its idx gate, the
+                reference's inside-iteration panels are rendered
+                (ref: src/Mapper.py:403-405): the stage scans are split at
+                vis_inside_freq boundaries (Adam state carries through, so
+                the optimization math is unchanged) and the panel is
+                rendered from the mid-optimization params.
 
         Returns:
             (updated params, new PRNG key, {stage: last-iter loss}).
@@ -429,6 +437,13 @@ class Mapper:
                     mask[..., None], dtype=jnp.float32
                 )
 
+        vis_this_frame = (
+            visualizer is not None
+            and cur_depth_np is not None
+            and cur_color_np is not None
+            and idx % visualizer.freq == 0
+        )
+
         adam_state = adam_init(params)
         losses: Dict[str, float] = {}
         for stage, s, e in self._stage_schedule(num_joint_iters, low_ratio, high_ratio):
@@ -446,27 +461,44 @@ class Mapper:
                 dtype=np.float32,
             )
             lrs = StageLRs(*[v * lr_factor for v in self.stage_lrs[stage]])
-            params, adam_state, stage_losses = mapping_stage(
-                params,
-                adam_state,
-                frames_color,
-                frames_depth,
-                jnp.asarray(frames_c2w),
-                frustum_masks,
-                self.tsdf_volume,
-                self.tsdf_bnds,
-                self.bound,
-                iter_keys,
-                jnp.asarray(w_flags),
-                lrs,
-                stage,
-                pixs_per_image,
-                self.cam,
-                self.rcfg,
-                (self.scene_cfg.fix_high, fix_color),
-                self.w_color_loss,
-                frustum_masks is not None,
-                self.ray_sharding,
-            )
+            # chunk the scan at inside-vis boundaries (global joint_iter
+            # multiples of vis_inside_freq, matching ref: Mapper.py:403-405);
+            # the Adam state carries across chunks, so chunking changes only
+            # where the host regains control, not the math
+            if vis_this_frame:
+                fin = max(1, int(visualizer.inside_freq))
+                marks = [g - s for g in range(s, e + 1) if g % fin == 0]
+                bounds = sorted(set([0] + [m for m in marks if m > 0] + [n]))
+            else:
+                bounds = [0, n]
+            stage_losses = None
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                if vis_this_frame and (s + a) % max(1, int(visualizer.inside_freq)) == 0:
+                    visualizer.vis(
+                        idx, s + a, cur_depth_np, cur_color_np, cur_c2w_np,
+                        params, self.tsdf_volume,
+                    )
+                params, adam_state, stage_losses = mapping_stage(
+                    params,
+                    adam_state,
+                    frames_color,
+                    frames_depth,
+                    jnp.asarray(frames_c2w),
+                    frustum_masks,
+                    self.tsdf_volume,
+                    self.tsdf_bnds,
+                    self.bound,
+                    iter_keys[a:b],
+                    jnp.asarray(w_flags[a:b]),
+                    lrs,
+                    stage,
+                    pixs_per_image,
+                    self.cam,
+                    self.rcfg,
+                    (self.scene_cfg.fix_high, fix_color),
+                    self.w_color_loss,
+                    frustum_masks is not None,
+                    self.ray_sharding,
+                )
             losses[stage] = float(stage_losses[-1])
         return params, key, losses

@@ -371,6 +371,9 @@ class SLAMSystem:
                 self.selected_keyframes[idx] = [
                     {"est_c2w": f_c2w[i]} for i in range(len(f_c2w))
                 ]
+            no_vis = color_refine or (
+                idx == 0 and self.cfg["mapping"].get("no_vis_on_first_frame", True)
+            )
             self.params, self.key, losses = self.mapper.optimize_map(
                 self.params,
                 num_iters,
@@ -383,6 +386,8 @@ class SLAMSystem:
                 cur_depth_np=np.asarray(depth),
                 cur_c2w_np=c2w,
                 color_refine=color_refine,
+                visualizer=None if no_vis else self.visualizer,
+                cur_color_np=np.asarray(color),
             )
         self.timings["map"] += time.time() - t0
 
@@ -399,10 +404,7 @@ class SLAMSystem:
             {"event": "map", "idx": int(idx), "losses": losses,
              "first": bool(first), "n_keyframes": len(self.keyframes)}
         )
-        if not (idx == 0 and self.cfg["mapping"].get("no_vis_on_first_frame", True)):
-            self.visualizer.vis(
-                idx, 0, depth, color, c2w, self.params, self.tsdf_volume
-            )
+
 
     def _kf_depths_np(self):
         K = len(self.keyframes)
@@ -461,15 +463,13 @@ class SLAMSystem:
         c2w, self.key, loss = self.tracker.track(
             params, idx, color, depth, gt_c2w,
             self.estimate_c2w_list, self.key,
+            visualizer=self.tracking_visualizer,
         )
         self.timings["track"] += time.time() - t0
         self.estimate_c2w_list[idx] = c2w
         if self.verbose:
             print(f"Tracking frame {idx}  loss={loss:.3f}")
         self._log_metrics({"event": "track", "idx": int(idx), "loss": float(loss)})
-        self.tracking_visualizer.vis(
-            idx, 0, depth, color, c2w, params, self.tsdf_volume
-        )
 
     def _run_async(self, start_idx: int, n: int, sync: str):
         """loose/free: mapper worker thread + published scene snapshots."""

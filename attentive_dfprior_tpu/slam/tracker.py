@@ -161,7 +161,11 @@ def track_frame(
     terminal LR removes that noise floor. Default 1.0 = reference behavior.
 
     Returns:
-        best_camera_tensor (7,), losses (n_iters,), final_tensor (7,).
+        best_camera_tensor (7,), losses (n_iters,), final_tensor (7,),
+        iter_tensors (n_iters, 7) — the PRE-step tensor of each iteration
+        (scene params are frozen during tracking, so rendering at these
+        recorded poses afterwards reproduces the reference's
+        inside-iteration visualization exactly, ref: src/Tracker.py:241-243).
     """
     if seperate_LR:
         cam_params = {"quad": init_camera_tensor[:4], "T": init_camera_tensor[4:]}
@@ -174,7 +178,14 @@ def track_frame(
     astate = adam_init(cam_params)
     keys = jax.random.split(key, n_iters)
     if lr_final_factor < 1.0 and n_iters > 1:
-        t = jnp.arange(n_iters, dtype=jnp.float32) / (n_iters - 1)
+        # two-phase: full LR for the first half (recovery capacity for bad
+        # const-speed inits), exponential decay to lr*factor over the second
+        # half (kills the terminal +-lr bounce) — a from-start decay starves
+        # recovery on hard frames (measured: ATE 11.0 vs 6.2 cm on the
+        # synthetic tracking demo)
+        i = jnp.arange(n_iters, dtype=jnp.float32)
+        half = n_iters / 2.0
+        t = jnp.clip((i - half) / jnp.maximum(n_iters - 1 - half, 1.0), 0.0, 1.0)
         lr_scales = jnp.power(jnp.float32(lr_final_factor), t)
     else:
         lr_scales = jnp.ones((n_iters,), jnp.float32)
@@ -206,17 +217,18 @@ def track_frame(
         else:
             grads = {"cam": grads_t}
         scaled_lr = jax.tree_util.tree_map(lambda l: l * lr_scale, lr_tree)
+        pre_step_tensor = assemble(cam_p)
         cam_p, ast = adam_update(cam_p, grads, ast, scaled_lr)
         better = loss < best_loss
         best_loss = jnp.where(better, loss, best_loss)
         best_tensor = jnp.where(better, assemble(cam_p), best_tensor)
-        return (cam_p, ast, best_loss, best_tensor), loss
+        return (cam_p, ast, best_loss, best_tensor), (loss, pre_step_tensor)
 
     init = (cam_params, astate, jnp.inf, init_camera_tensor)
-    (cam_params, _, _, best_tensor), losses = jax.lax.scan(
+    (cam_params, _, _, best_tensor), (losses, iter_tensors) = jax.lax.scan(
         one_iter, init, (keys, lr_scales)
     )
-    return best_tensor, losses, assemble(cam_params)
+    return best_tensor, losses, assemble(cam_params), iter_tensors
 
 
 class Tracker:
@@ -273,15 +285,20 @@ class Tracker:
         gt_c2w: np.ndarray,
         estimate_c2w_list: np.ndarray,
         key: jax.Array,
+        visualizer=None,
     ) -> Tuple[np.ndarray, jax.Array, float]:
-        """Track one frame; returns (est c2w 4x4, new key, final loss)."""
+        """Track one frame; returns (est c2w 4x4, new key, final loss).
+
+        With ``visualizer``, renders the reference's inside-iteration panels
+        (ref: src/Tracker.py:241-243) at the recorded per-iteration poses.
+        """
         if idx == 0 or self.gt_camera:
             return gt_c2w.astype(np.float32), key, 0.0
 
         init_c2w = self.initial_pose(idx, estimate_c2w_list)
         cam_tensor = jnp.asarray(pose_tensor_from_matrix(init_c2w))
         key, sub = jax.random.split(key)
-        best, losses, _ = track_frame(
+        best, losses, _, iter_tensors = track_frame(
             params,
             cam_tensor,
             jnp.asarray(color_im),
@@ -304,5 +321,11 @@ class Tracker:
             self.ray_sharding,
             self.lr_final_factor,
         )
+        if visualizer is not None and idx % visualizer.freq == 0:
+            for it in range(0, self.num_cam_iters, visualizer.inside_freq):
+                visualizer.vis(
+                    idx, it, depth_im, color_im, np.asarray(iter_tensors[it]),
+                    params, self.tsdf_volume,
+                )
         c2w = np.asarray(homogenize(pose_matrix_from_tensor(best)))
         return c2w.astype(np.float32), key, float(losses[-1])

@@ -86,7 +86,7 @@ def main():
     cam_tensor = jnp.asarray([1.0, 0.0, 0.0, 0.0, 2.0, 1.0, 0.0], jnp.float32)
 
     def run_tracking(params, k):
-        best, losses, _ = track_frame(
+        best, losses, _, _ = track_frame(
             params, cam_tensor, frames_color[0], frames_depth[0],
             tsdf, tsdf_bnds, jbound, k, cam, rcfg,
             TRACK_PIXELS, TRACK_ITERS, 100, 100, True, True, 0.5, 1e-3,

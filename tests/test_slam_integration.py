@@ -147,7 +147,7 @@ def test_tracker_reduces_pose_error(slam_run):
     init[:3, 3] += np.array([0.03, -0.02, 0.02], np.float32)  # 4 cm offset
     cam_tensor = jnp.asarray(pose_tensor_from_matrix(init))
 
-    best, losses, _ = track_frame(
+    best, losses, _, _ = track_frame(
         slam_run.params,
         cam_tensor,
         jnp.asarray(color),
@@ -250,7 +250,7 @@ def test_tracker_lr_decay_converges_tighter(slam_run):
     )
     errs = {}
     for ff in (1.0, 0.05):
-        best, losses, _ = track_frame(*args, ff)
+        best, losses, _, _ = track_frame(*args, ff)
         est = np.asarray(homogenize(pose_matrix_from_tensor(best)))
         errs[ff] = np.linalg.norm(est[:3, 3] - gt_c2w[:3, 3])
         assert np.isfinite(np.asarray(losses)).all()
