@@ -122,7 +122,9 @@ class SLAMSystem:
         # blend cannot manufacture phantom surfaces at coverage boundaries.
         from attentive_dfprior_tpu.tsdf.fusion import fill_unobserved_volume
 
-        fill_mode = str(cfg.get("tsdf", {}).get("fill_unobserved", "nearest"))
+        # fallback matches the shipped default config (configs/df_prior.yaml):
+        # 'free' measured better than 'nearest' (2.2 vs 4.1 cm mesh accuracy)
+        fill_mode = str(cfg.get("tsdf", {}).get("fill_unobserved", "free"))
         if tsdf_observed is not None and fill_mode != "reference":
             self.tsdf_volume_mesh = jnp.asarray(
                 fill_unobserved_volume(
@@ -247,6 +249,12 @@ class SLAMSystem:
         self.gt_c2w_list = np.zeros((self.n_img, 4, 4), dtype=np.float32)
         self._np_rng = np.random.default_rng(seed)
         self._mapped_first = False
+        # async (loose/free) runs split self.key into independent per-thread
+        # streams so the mapper worker and the main tracker thread never
+        # read-modify-write the same key concurrently (lost updates would
+        # make async runs non-reproducible beyond scheduling order)
+        self._map_key: Optional[jax.Array] = None
+        self._track_key: Optional[jax.Array] = None
         import threading
 
         # guards keyframe-store mutation vs side-output reads when the
@@ -367,14 +375,17 @@ class SLAMSystem:
                 color, depth, c2w, window_size=window_size
             )
             if self.save_selected_keyframes_info:
-                # (ref: src/Mapper.py:306-319)
-                self.selected_keyframes[idx] = [
-                    {"est_c2w": f_c2w[i]} for i in range(len(f_c2w))
-                ]
+                # (ref: src/Mapper.py:306-319); lock: the logger serializes
+                # this dict from the main thread in async modes
+                with self._kf_lock:
+                    self.selected_keyframes[idx] = [
+                        {"est_c2w": f_c2w[i]} for i in range(len(f_c2w))
+                    ]
             no_vis = color_refine or (
                 idx == 0 and self.cfg["mapping"].get("no_vis_on_first_frame", True)
             )
-            self.params, self.key, losses = self.mapper.optimize_map(
+            key_in = self._map_key if self._map_key is not None else self.key
+            self.params, key_out, losses = self.mapper.optimize_map(
                 self.params,
                 num_iters,
                 lr_factor,
@@ -382,13 +393,17 @@ class SLAMSystem:
                 f_color,
                 f_depth,
                 f_c2w,
-                self.key,
+                key_in,
                 cur_depth_np=np.asarray(depth),
                 cur_c2w_np=c2w,
                 color_refine=color_refine,
                 visualizer=None if no_vis else self.visualizer,
                 cur_color_np=np.asarray(color),
             )
+            if self._map_key is not None:
+                self._map_key = key_out
+            else:
+                self.key = key_out
         self.timings["map"] += time.time() - t0
 
         # keyframe bookkeeping (ref: src/Mapper.py:560-565)
@@ -460,11 +475,16 @@ class SLAMSystem:
 
     def _track_frame(self, idx, color, depth, gt_c2w, params):
         t0 = time.time()
-        c2w, self.key, loss = self.tracker.track(
+        key_in = self._track_key if self._track_key is not None else self.key
+        c2w, key_out, loss = self.tracker.track(
             params, idx, color, depth, gt_c2w,
-            self.estimate_c2w_list, self.key,
+            self.estimate_c2w_list, key_in,
             visualizer=self.tracking_visualizer,
         )
+        if self._track_key is not None:
+            self._track_key = key_out
+        else:
+            self.key = key_out
         self.timings["track"] += time.time() - t0
         self.estimate_c2w_list[idx] = c2w
         if self.verbose:
@@ -477,12 +497,25 @@ class SLAMSystem:
         import threading
 
         jobs: "queue.Queue" = queue.Queue()
+        # The published snapshot must never alias self.params: every mapping
+        # job donates self.params' buffers (mapping_stage donate_argnums), so
+        # the seed snapshot is an independent copy too — on resume
+        # (start_idx > 0) the tracker starts from it before any map job runs.
+        seed_snap = jax.tree_util.tree_map(jnp.copy, self.params)
+        jax.block_until_ready(seed_snap)
         state = {
-            "published": self.params,  # latest snapshot for the tracker
-            "last_mapped": -1,
+            "published": seed_snap,  # latest snapshot for the tracker
+            # resume: treat everything before start_idx as already mapped so
+            # the 'loose' staleness gate can make progress
+            "last_mapped": start_idx - 1,
+            "published_idx": start_idx - 1,
+            "consumed": True,  # has the tracker read the current snapshot?
             "error": None,
         }
         pub_cv = threading.Condition()
+        # independent per-thread PRNG streams (see __init__ note)
+        self.key, map_key, track_key = jax.random.split(self.key, 3)
+        self._map_key, self._track_key = map_key, track_key
 
         def mapper_worker():
             try:
@@ -495,15 +528,41 @@ class SLAMSystem:
                         midx, mcolor, mdepth,
                         self.estimate_c2w_list[midx], mgt, first=first,
                     )
-                    # publish an independent snapshot: the next mapping
+                    # Publish an independent snapshot: the next mapping
                     # donates self.params, which would invalidate buffers
-                    # the tracker might still be reading
+                    # the tracker might still be reading. Publish-on-demand:
+                    # if the tracker never consumed the previous snapshot,
+                    # skip the (full-scene-copy) publish — the old snapshot
+                    # stays valid, just one map staler — unless staleness
+                    # would exceed 2*every_frame mapped frames.
+                    with pub_cv:
+                        skip = (
+                            not state["consumed"]
+                            and midx - state["published_idx"]
+                            < 2 * self.every_frame
+                        )
+                    if skip:
+                        with pub_cv:
+                            state["last_mapped"] = midx
+                            pub_cv.notify_all()
+                        self._log_metrics(
+                            {"event": "publish_skip", "idx": int(midx)}
+                        )
+                        continue
+                    t0 = time.time()
                     snap = jax.tree_util.tree_map(jnp.copy, self.params)
                     jax.block_until_ready(snap)
+                    publish_s = time.time() - t0
                     with pub_cv:
                         state["published"] = snap
+                        state["published_idx"] = midx
+                        state["consumed"] = False
                         state["last_mapped"] = midx
                         pub_cv.notify_all()
+                    self._log_metrics(
+                        {"event": "publish", "idx": int(midx),
+                         "publish_s": round(publish_s, 4)}
+                    )
             except BaseException as e:  # surface crashes to the main thread
                 with pub_cv:
                     state["error"] = e
@@ -521,6 +580,11 @@ class SLAMSystem:
                 if state["error"] is not None:
                     raise state["error"]
 
+        def snapshot():
+            with pub_cv:
+                state["consumed"] = True
+                return state["published"]
+
         try:
             for idx in range(start_idx, n):
                 frame_idx, color, depth, gt_c2w = self.dataset[idx]
@@ -537,19 +601,35 @@ class SLAMSystem:
                         wait_until(
                             lambda: state["last_mapped"] >= idx - max_lag
                         )
-                    self._track_frame(
-                        idx, color, depth, gt_c2w, state["published"]
-                    )
+                    self._track_frame(idx, color, depth, gt_c2w, snapshot())
                     if not np.isfinite(gt_c2w).all():
                         continue
                     if idx % self.every_frame == 0 or idx == n - 1:
                         jobs.put((idx, color, depth, gt_c2w, False))
                         if idx == n - 1:  # final frame: complete the map
                             wait_until(lambda: state["last_mapped"] >= idx)
-                self._side_outputs(idx, n, params=state["published"])
+                            with pub_cv:
+                                stale = (
+                                    state["published_idx"]
+                                    < state["last_mapped"]
+                                )
+                            if stale:
+                                # the final publish was skipped; the worker
+                                # is idle (no jobs pending) so self.params
+                                # is stable — snapshot it for side outputs
+                                snap = jax.tree_util.tree_map(
+                                    jnp.copy, self.params
+                                )
+                                jax.block_until_ready(snap)
+                                with pub_cv:
+                                    state["published"] = snap
+                                    state["published_idx"] = idx
+                                    state["consumed"] = False
+                self._side_outputs(idx, n, params=snapshot())
         finally:
             jobs.put(None)
             worker.join(timeout=600)
+            self._map_key = self._track_key = None
         return self.estimate_c2w_list
 
     def _side_outputs(self, idx: int, n: int, params=None):
@@ -566,6 +646,8 @@ class SLAMSystem:
             kf_poses = self.keyframes.poses_np()
             kf_gt = np.array(self.keyframes.gt_c2w[: len(kf_idx)])
             kf_depths = self._kf_depths_np()
+            # snapshot: the mapper worker mutates this dict concurrently
+            selected_kf = dict(self.selected_keyframes)
         if (
             (idx % self.ckpt_freq == 0 and not (idx == 0 and self.no_log_on_first_frame))
             or last
@@ -579,9 +661,7 @@ class SLAMSystem:
                 kf_poses,
                 keyframe_gt_c2w=kf_gt,
                 selected_keyframes=(
-                    self.selected_keyframes
-                    if self.save_selected_keyframes_info
-                    else None
+                    selected_kf if self.save_selected_keyframes_info else None
                 ),
             )
         if (

@@ -270,7 +270,10 @@ def calc_2d_metric(
             if not check_proj(pc_unseen, W, H, fx, fy, cx, cy, c2w):
                 break
         else:
-            return None  # cannot find an unseen-free view
+            # sampler exhausted (the reference retries forever): keep the
+            # views measured so far instead of discarding the whole metric;
+            # n_views in the result records the shortfall
+            break
 
         w2c = np.linalg.inv(c2w)
         gt_depth = native.rasterize_depth(

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("slab",), donate_argnums=(0, 1, 2))
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def integrate_frame(
     tsdf: jnp.ndarray,
     weight: jnp.ndarray,
@@ -42,7 +42,6 @@ def integrate_frame(
     voxel_size: float,
     trunc_margin: float,
     obs_weight: float = 1.0,
-    slab: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fuse one RGB-D frame into the TSDF volume (donated buffers -> in-place).
 
@@ -56,8 +55,6 @@ def integrate_frame(
             (+z forward) — callers flip the OpenGL y/z axes first, exactly as
             the reference does before integration (ref: get_tsdf.py:79-83).
         vol_origin: (3,) world position of voxel (0,0,0).
-        slab: unused compile-time knob (reserved for slab-wise scan on very
-            large volumes).
 
     Returns:
         Updated (tsdf, weight, color).

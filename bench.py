@@ -11,6 +11,19 @@ the reference's Replica configuration exactly (SURVEY §6 / BASELINE.md):
 Primary metric: rays/s/chip over the combined map+track work for one
 5-frame SLAM cycle (1 mapped frame + 5 tracked frames, every_frame=5).
 
+MEASUREMENT CONTRACT (round-3 discovery; every earlier recorded number —
+BENCH_r01 2.05M, BENCH_r02 633k, and ad-hoc re-runs — was an artifact):
+this TPU sits behind a shared remote relay whose DEFAULT mode acknowledges
+dispatches without completing them; in that mode ``block_until_ready``
+returns ~0 ms for a matmul chain with a 1.1 s physics floor (220 TFLOP at
+the chip's 197 TFLOP/s bf16 peak). One host device_get (np.asarray/float
+of ANY device array) irreversibly flips the process into a truthful
+synchronous mode where the same chain blocks for 1.20 s = 93% of peak.
+This benchmark therefore forces truthful mode immediately after warmup and
+measures everything there, paying ~25 ms relay RTT per jit dispatch; the
+per-dispatch RTT is measured separately and a relay-overhead-corrected
+device-time estimate is reported alongside the raw number.
+
 vs_baseline: ratio to the reference implementation's estimated GPU
 throughput. The reference publishes no numbers (BASELINE.md); NICE-SLAM-
 lineage systems of this exact workload map a frame (60x1000 rays) in ~5 s
@@ -27,6 +40,10 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+
+    from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from attentive_dfprior_tpu.models.scene import SceneConfig, init_scene
     from attentive_dfprior_tpu.ops.adam import adam_init
@@ -104,24 +121,79 @@ def main():
     jax.block_until_ready(tl)
     compile_s = time.time() - t0
 
+    # ---- force TRUTHFUL (synchronous-completion) relay mode ----
+    # (see module docstring: without this, block_until_ready acknowledges
+    # without completing and every timing below would be fiction)
+    float(jnp.zeros(()))
+
+    # ---- relay RTT probe: per-dispatch overhead in truthful mode ----
+    @jax.jit
+    def _nop(x):
+        return x + 1.0
+
+    nop_x = jnp.zeros((8, 128), jnp.float32)
+    _nop(nop_x).block_until_ready()
+    rtt_times = []
+    for _ in range(10):
+        t0 = time.time()
+        _nop(nop_x).block_until_ready()
+        rtt_times.append(time.time() - t0)
+    rtt_s = float(np.median(rtt_times))
+
+    # ---- fixed-work calibration (VERDICT r2 weak #1) ----
+    # 50 chained 4096^2 bf16 matmuls = 6.9 TFLOP ~= 35 ms at peak + RTT.
+    # Detects cross-tenant contention on this shared chip: a healthy run
+    # reports ~55-70 ms; multiples of that mean THIS run was contended and
+    # the headline number below under-reports the framework.
+    calib_a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def _calib(a):
+        x = a
+        for _ in range(50):
+            x = jnp.dot(x, a, preferred_element_type=jnp.bfloat16)
+        return x
+
+    _calib(calib_a).block_until_ready()  # compile
+    calib_times = []
+    for _ in range(5):
+        t0 = time.time()
+        _calib(calib_a).block_until_ready()
+        calib_times.append(time.time() - t0)
+
     # ---- timed: one SLAM cycle = 1 mapped frame + 5 tracked frames ----
-    REPS = 3
-    t0 = time.time()
+    # >=5 independent repetitions of the WHOLE measurement; the JSON
+    # carries median + min/max so a contended run is visible instead of
+    # silently recorded as the headline number.
+    REPS = 5
+    rep_times = []
     for r in range(REPS):
+        t0 = time.time()
         params, losses = run_mapping_cycle(params)
         for i in range(5):
             tl = run_tracking(params, jax.random.PRNGKey(10 + r * 5 + i))
         jax.block_until_ready((params, losses, tl))
-    elapsed = time.time() - t0
+        rep_times.append(time.time() - t0)
 
     rays_per_cycle = PIXELS * sum(MAP_ITERS.values()) + 5 * TRACK_PIXELS * TRACK_ITERS
-    rays_per_s = rays_per_cycle * REPS / elapsed
+    cycle_med = float(np.median(rep_times))
+    rays_per_s = rays_per_cycle / cycle_med
+    rays_min = rays_per_cycle / max(rep_times)
+    rays_max = rays_per_cycle / min(rep_times)
+
+    # relay-overhead-corrected device-time estimate: in truthful mode every
+    # jit dispatch pays ~rtt_s of relay round-trip that a locally-attached
+    # TPU host would not. Dispatches per cycle: 3 mapping_stage + 1
+    # adam_init + 3 key fold/split pairs + 5 track_frame + 5 PRNGKey ~= 20.
+    DISPATCHES_PER_CYCLE = 20
+    cycle_device_est = max(1e-9, cycle_med - DISPATCHES_PER_CYCLE * rtt_s)
+    rays_per_s_device_est = rays_per_cycle / cycle_device_est
 
     # ---- honest accounting extras (VERDICT r1 item 8) ----
     # point evals: every ray evaluates N_samples + N_surface = 48 scene
     # points through the decoder stack
     samples_per_ray = rcfg.N_samples + rcfg.N_surface
-    point_evals_per_s = rays_per_s * samples_per_ray
+    point_evals_per_s = rays_per_s_device_est * samples_per_ray
 
     # analytic FLOPs/point: 2*sum(W) per matmul forward; backward ~2x the
     # forward => 6*sum(W) per optimized point (tracking points are
@@ -136,13 +208,28 @@ def main():
         _mat_flops(params[k]) for k in ("low", "high", "color", "mlp")
     )
     est_flops_per_s = 3.0 * flops_fwd_per_point * point_evals_per_s
-    # assumed f32 peak for one modern TPU chip's MXU (~2.2e14 f32 FLOP/s,
-    # v5p-class); the kernel is gather/bandwidth-heavy so MFU is expected
-    # to be low — reported for trend tracking, not as a claim
-    ASSUMED_PEAK_F32 = 2.2e14
-    est_mfu = est_flops_per_s / ASSUMED_PEAK_F32
+    # Per-chip peak from the ACTUAL device kind (VERDICT r2 weak #7: README
+    # said v5e while the MFU denominator assumed a v5p-class peak). Table is
+    # published bf16 matmul peak per chip; our compute runs f32 so the MFU
+    # estimate is conservative (f32 peak is lower on every generation).
+    dev_kind = jax.devices()[0].device_kind
+    PEAK_BF16 = {  # FLOP/s per chip
+        "TPU v4": 2.75e14,
+        "TPU v5 lite": 1.97e14,
+        "TPU v5e": 1.97e14,
+        "TPU v5p": 4.59e14,
+        "TPU v5": 4.59e14,
+        "TPU v6 lite": 9.18e14,
+        "TPU v6e": 9.18e14,
+    }
+    peak = next(
+        (v for k, v in PEAK_BF16.items() if k.lower() in dev_kind.lower()),
+        2.2e14,  # unknown chip: keep the historical assumption, flagged below
+    )
+    est_mfu = est_flops_per_s / peak
 
     BASELINE_RAYS_PER_S = 12_000.0  # documented ESTIMATE, see module docstring
+    spread = (rays_max - rays_min) / rays_per_s
     print(
         json.dumps(
             {
@@ -155,9 +242,28 @@ def main():
                     "NICE-SLAM-lineage desktop GPU); the reference repo "
                     "publishes no numbers (BASELINE.md)"
                 ),
+                "reps": REPS,
+                "median": round(rays_per_s, 1),
+                "min": round(rays_min, 1),
+                "max": round(rays_max, 1),
+                "spread_frac": round(spread, 3),
+                "cycle_s_median": round(cycle_med, 4),
+                "relay_rtt_ms": round(rtt_s * 1e3, 2),
+                "rays_per_s_device_est": round(rays_per_s_device_est, 1),
+                "device_est_note": (
+                    "cycle time minus ~20 dispatches x relay RTT: what a "
+                    "locally-attached TPU host would see"
+                ),
+                "calib_matmul_ms_median": round(
+                    float(np.median(calib_times)) * 1e3, 2
+                ),
+                "calib_matmul_ms_max": round(max(calib_times) * 1e3, 2),
+                "calib_healthy_envelope_ms": "55-70",
+                "device_kind": dev_kind,
                 "point_evals_per_s": round(point_evals_per_s, 1),
                 "est_model_flops_per_s": round(est_flops_per_s, 1),
-                "est_mfu_vs_2.2e14_f32_peak": round(est_mfu, 4),
+                "est_mfu_vs_chip_bf16_peak": round(est_mfu, 4),
+                "assumed_peak_flops": peak,
             }
         )
     )
@@ -165,8 +271,10 @@ def main():
     import sys
 
     print(
-        f"# compile={compile_s:.1f}s cycle={elapsed / REPS:.2f}s "
-        f"rays/cycle={rays_per_cycle} backend={jax.default_backend()}",
+        f"# compile={compile_s:.1f}s cycle_med={cycle_med:.2f}s "
+        f"reps={[round(t, 3) for t in rep_times]} "
+        f"rays/cycle={rays_per_cycle} backend={jax.default_backend()} "
+        f"device={dev_kind}",
         file=sys.stderr,
     )
 

@@ -222,6 +222,33 @@ def test_async_sync_modes_run(cfg, tmp_path, sync):
     assert '"event": "map"' in records and '"event": "track"' in records
 
 
+def test_async_resume_does_not_deadlock(slam_run, cfg):
+    """Resume (start_idx > 0) into sync_method='loose' must make progress:
+    before round 3, last_mapped started at -1 with no map job enqueued, so
+    the loose staleness gate could never be satisfied (ADVICE r2, medium);
+    'free' additionally tracked from the live params pytree whose buffers
+    the first mapping job donates."""
+    import copy
+
+    from attentive_dfprior_tpu.slam.system import SLAMSystem
+    from attentive_dfprior_tpu.utils.logger import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(slam_run.output, "ckpts"))
+    assert ckpt is not None
+
+    acfg = copy.deepcopy(cfg)
+    acfg["sync_method"] = "loose"
+    acfg["data"]["n_frames"] = 9  # two frames beyond the 7-frame checkpoint
+    out = slam_run.output + "_async_resume"
+    slam = SLAMSystem(acfg, output=out)
+    next_idx = slam.resume(ckpt)
+    assert next_idx == 7
+    poses = slam.run(start_idx=next_idx)
+    assert np.isfinite(poses[:9]).all()
+    records = open(os.path.join(out, "metrics.jsonl")).read()
+    assert '"event": "map"' in records and '"event": "track"' in records
+
+
 def test_tracker_lr_decay_converges_tighter(slam_run):
     """tracking.lr_final_factor < 1 decays the Adam LR over the iterations;
     near the minimum this removes the +-lr terminal bounce, so the recovered
