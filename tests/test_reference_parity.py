@@ -66,9 +66,13 @@ def _load_ref_decoder_module():
     return mod
 
 
-@pytest.fixture(scope="module")
-def pair():
-    """(torch DF + grids + tsdf, converted jax params + grids + tsdf)."""
+def build_pair():
+    """(torch DF + grids + tsdf, converted jax params + grids + tsdf).
+
+    Shared with tests/test_reference_parity_pipeline.py (full-pipeline
+    parity), which composes the same weight pair with the reference
+    Renderer.
+    """
     refdec = _load_ref_decoder_module()
     torch.manual_seed(0)
     model = refdec.DF(
@@ -121,6 +125,11 @@ def pair():
     }
     tsdf_j = jnp.asarray(tsdf_t[0, 0].permute(2, 1, 0).contiguous().numpy())
     return model, c_grid, tsdf_t, tsdf_bnds_t, params, tsdf_j
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return build_pair()
 
 
 def _points(n=257, seed=5):
