@@ -32,8 +32,16 @@ def main():
         "--multihost",
         action="store_true",
         help="initialize jax.distributed for a multi-host TPU slice "
-        "(coordinator/process env per JAX conventions); equivalent to "
-        "parallel.multihost: True in the config",
+        "(coordinator/process env per JAX conventions, or explicit "
+        "DFPRIOR_COORD / DFPRIOR_NPROCS / DFPRIOR_PROC_ID env vars for "
+        "manual clusters); equivalent to parallel.multihost: True in the "
+        "config",
+    )
+    parser.add_argument(
+        "--init_only",
+        action="store_true",
+        help="initialize the runtime (incl. --multihost jax.distributed) "
+        "and exit — cluster bring-up sanity check",
     )
     args = parser.parse_args()
 
@@ -56,11 +64,26 @@ def main():
     if args.multihost or bool(cfg.get("parallel", {}).get("multihost", False)):
         import jax
 
-        jax.distributed.initialize()
+        # Manual-cluster override (CPU smoke / non-TPU-metadata clusters):
+        # DFPRIOR_COORD=host:port DFPRIOR_NPROCS=N DFPRIOR_PROC_ID=i.
+        # Exercised by scripts/multihost_smoke.py + tests/test_multihost.py.
+        kw = {}
+        if os.environ.get("DFPRIOR_COORD"):
+            kw = dict(
+                coordinator_address=os.environ["DFPRIOR_COORD"],
+                num_processes=int(os.environ["DFPRIOR_NPROCS"]),
+                process_id=int(os.environ["DFPRIOR_PROC_ID"]),
+            )
+            if os.environ.get("DFPRIOR_FORCE_CPU"):
+                jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(**kw)
         print(
             f"multihost: process {jax.process_index()}/{jax.process_count()}, "
-            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices",
+            flush=True,
         )
+    if args.init_only:
+        return
     slam = SLAMSystem(cfg, args)
 
     start = 0
