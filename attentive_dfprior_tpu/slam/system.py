@@ -149,6 +149,24 @@ class SLAMSystem:
                 )
             )
 
+        # Production layout: all prior volumes become wide Z-row matrices
+        # (ops/grid_sample.TSDFRows) — 6.6x faster trilinear sampling on TPU
+        # than the (X,Y,Z) layout (scripts/bench_tsdf_gather.py). Distinct
+        # volumes convert once; aliases stay shared.
+        from attentive_dfprior_tpu.ops.grid_sample import tsdf_to_rows
+
+        _rows_cache: Dict[int, Any] = {}
+
+        def _to_rows(vol):
+            k = id(vol)
+            if k not in _rows_cache:
+                _rows_cache[k] = tsdf_to_rows(vol)
+            return _rows_cache[k]
+
+        self.tsdf_volume_mesh = _to_rows(self.tsdf_volume_mesh)
+        self.tsdf_volume_track = _to_rows(self.tsdf_volume_track)
+        self.tsdf_volume = _to_rows(self.tsdf_volume)
+
         # --- scene state ---
         pretrained = cfg.get("pretrained_decoders", {}).get("low_high")
         # the reference ships a torch blob (pretrained/low_high.pt); our
