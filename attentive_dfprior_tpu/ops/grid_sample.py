@@ -122,6 +122,11 @@ def sample_feature_grid(
 
     Equivalent of MLP.sample_grid_feature (ref: decoder.py:168-175).
 
+    The default VJP is the cell-scatter+stencil grid gradient
+    (trilinear_sample_cs below, measured 1.54x over XLA's scatter-add on
+    TPU); DFPRIOR_TRILINEAR_VJP=xla restores the plain autodiff transpose,
+    =sorted selects the shelved sorted-segmented experiment.
+
     Args:
         grid: (NX, NY, NZ, C).
         p: (N, 3) world coordinates.
@@ -132,8 +137,11 @@ def sample_feature_grid(
     """
     import os
 
-    impl = os.environ.get("DFPRIOR_TRILINEAR_VJP", "xla")
-    fn = trilinear_sample_opt if impl == "sorted" else trilinear_sample
+    impl = os.environ.get("DFPRIOR_TRILINEAR_VJP", "cellstencil")
+    fn = {
+        "sorted": trilinear_sample_opt,
+        "xla": trilinear_sample,
+    }.get(impl, trilinear_sample_cs)
     return fn(grid, normalize_3d_coordinate(p, bound))
 
 
@@ -198,6 +206,114 @@ def _segmented_unique_scatter(
         jnp.where(is_end[:, None], run_total, 0.0), unique_indices=True
     )
     return buf[:nrows]
+
+
+# ---------------------------------------------------------------------------
+# Cell-scatter + stencil grid gradient — the production trilinear VJP
+# ---------------------------------------------------------------------------
+#
+# XLA lowers scatter-add on TPU to a row-serialized loop (~14 ns/row,
+# insensitive to duplicates and to unique_indices — measured,
+# scripts/bench_scatter.py part 1), so the autodiff transpose of the
+# 8-corner gather costs 8N row-stores. This VJP scatters ONE wide
+# (8C-column) row per point into a cell-indexed buffer (cells are indexed
+# by the floor corner i0), then converts cell-corner sums to the voxel
+# gradient with a dense 8-way pad-shift stencil after a single
+# corner-major transpose. 8x fewer scatter rows; the stencil is pure
+# vectorized bandwidth.
+#
+# Border exactness: when i0 is clamped to n-1 the fractional part f is 0,
+# so every i1-corner weight carries a factor of 0 — the stencil's
+# out-of-range spill is zero-valued and zero-padded shift-adds reproduce
+# the collapsed-corner (i1 = min(i0+1, n-1)) semantics exactly (parity
+# 1.5e-7 rel incl. border-clamped points, tests/test_grid_sample_vjp.py).
+#
+# MEASURED ON TPU (2026-08-20, room0 high grid 74x56x44x32, reference
+# workload 48k points): XLA transpose 6.92 ms -> 4.49 ms (1.54x); the raw
+# wide-row scatter is 1.36 ms of that (scripts/bench_scatter.py b5).
+
+
+def _cell_stencil_grid_grad(
+    grid_shape, p_norm: jnp.ndarray, ct: jnp.ndarray
+) -> jnp.ndarray:
+    """Gradient of trilinear_sample w.r.t. the grid via cell-scatter +
+    dense stencil.
+
+    Args:
+        grid_shape: (NX, NY, NZ, C) static shape tuple.
+        p_norm: (N, 3) normalized query points.
+        ct: (N, C) cotangent of the sampled features.
+
+    Returns:
+        (NX, NY, NZ, C) grid gradient.
+    """
+    nx, ny, nz, C = grid_shape
+    n_pts = p_norm.shape[0]
+    nvox = nx * ny * nz
+    dims = jnp.array([nx, ny, nz], dtype=p_norm.dtype)
+    idx = (p_norm + 1.0) * 0.5 * (dims - 1.0)
+    idx = jnp.clip(idx, 0.0, dims - 1.0)
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    i0 = jnp.minimum(i0, jnp.array([nx - 1, ny - 1, nz - 1], dtype=jnp.int32))
+    f = idx - i0.astype(idx.dtype)
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+
+    # corner weights in x, y, z-fastest order (matches trilinear_sample)
+    ws = []
+    for wx in (1 - fx, fx):
+        for wy in (1 - fy, fy):
+            for wz in (1 - fz, fz):
+                ws.append(wx * wy * wz)
+    w = jnp.stack(ws, axis=1)  # (N, 8)
+    upd = (w[:, :, None] * ct[:, None, :]).reshape(n_pts, 8 * C)
+    cell = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
+    cells = jnp.zeros((nvox, 8 * C), upd.dtype).at[cell].add(upd)
+    corner_major = jnp.transpose(
+        cells.reshape(nvox, 8, C), (1, 0, 2)
+    )  # one relayout; per-corner slices below are then contiguous
+    parts = []
+    ci = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                y = corner_major[ci].reshape(nx, ny, nz, C)
+                parts.append(
+                    jnp.pad(
+                        y[: nx - dx, : ny - dy, : nz - dz],
+                        ((dx, 0), (dy, 0), (dz, 0), (0, 0)),
+                    )
+                )
+                ci += 1
+    out = parts[0]
+    for pslice in parts[1:]:
+        out = out + pslice
+    return out
+
+
+@jax.custom_vjp
+def trilinear_sample_cs(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
+    """trilinear_sample with the cell-scatter+stencil grid gradient."""
+    return trilinear_sample(grid, p_norm)
+
+
+def _cs_fwd(grid, p_norm):
+    return trilinear_sample(grid, p_norm), (grid, p_norm)
+
+
+def _cs_bwd(res, g):
+    grid, p_norm = res
+    # point gradient: autodiff of the gather-only path (XLA DCEs this
+    # entire branch when the caller does not request point gradients,
+    # e.g. in the mapping loop where poses are fixed)
+    _, pullback = jax.vjp(
+        lambda p: trilinear_sample(jax.lax.stop_gradient(grid), p), p_norm
+    )
+    (p_grad,) = pullback(g)
+    grid_grad = _cell_stencil_grid_grad(grid.shape, p_norm, g)
+    return grid_grad, p_grad
+
+
+trilinear_sample_cs.defvjp(_cs_fwd, _cs_bwd)
 
 
 # ---------------------------------------------------------------------------
