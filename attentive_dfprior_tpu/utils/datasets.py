@@ -73,9 +73,14 @@ class BaseDataset:
         color_data = cv2.resize(color_data, (W, H))
         depth_data = depth_data * self.scale
         if self.crop_size is not None:
-            ch, cw = self.crop_size
-            color_data = cv2.resize(color_data, (cw, ch), interpolation=cv2.INTER_LINEAR)
-            depth_data = cv2.resize(depth_data, (cw, ch), interpolation=cv2.INTER_NEAREST)
+            # reference semantics: F.interpolate(align_corners=True) for
+            # color, torch 'nearest' for depth (ref: datasets.py:96-103) —
+            # NOT cv2.resize, whose pixel mapping differs (half-pixel
+            # centers); pinned against torch in tests/test_datasets.py
+            color_data = _resize_bilinear_align_corners(
+                color_data, self.crop_size
+            )
+            depth_data = _resize_nearest_torch(depth_data, self.crop_size)
         edge = self.crop_edge
         if edge > 0:
             color_data = color_data[edge:-edge, edge:-edge]
@@ -88,6 +93,54 @@ class BaseDataset:
             depth_data.astype(np.float32),
             pose.astype(np.float32),
         )
+
+
+def _resize_bilinear_align_corners(img: np.ndarray, size) -> np.ndarray:
+    """Bilinear resize with torch ``F.interpolate(..., align_corners=True)``
+    pixel mapping: output pixel i samples input coordinate
+    i * (n_in - 1) / (n_out - 1) (ref: src/utils/datasets.py:96-100).
+
+    Args:
+        img: (H, W) or (H, W, C) float array.
+        size: (out_H, out_W).
+    """
+    oh, ow = int(size[0]), int(size[1])
+    ih, iw = img.shape[:2]
+
+    def axis_coords(n_in, n_out):
+        if n_out == 1:
+            return np.zeros(1)
+        return np.arange(n_out) * (n_in - 1) / (n_out - 1)
+
+    ys = axis_coords(ih, oh)
+    xs = axis_coords(iw, ow)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, ih - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, iw - 1)
+    y1 = np.minimum(y0 + 1, ih - 1)
+    x1 = np.minimum(x0 + 1, iw - 1)
+    fy = (ys - y0).reshape(-1, 1)
+    fx = (xs - x0).reshape(1, -1)
+    if img.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    a = img[np.ix_(y0, x0)]
+    b = img[np.ix_(y0, x1)]
+    c = img[np.ix_(y1, x0)]
+    d = img[np.ix_(y1, x1)]
+    top = a * (1 - fx) + b * fx
+    bot = c * (1 - fx) + d * fx
+    return (top * (1 - fy) + bot * fy).astype(img.dtype, copy=False)
+
+
+def _resize_nearest_torch(img: np.ndarray, size) -> np.ndarray:
+    """Nearest resize with torch ``F.interpolate(mode='nearest')`` pixel
+    mapping: output pixel i reads input index floor(i * n_in / n_out)
+    (ref: src/utils/datasets.py:101-102)."""
+    oh, ow = int(size[0]), int(size[1])
+    ih, iw = img.shape[:2]
+    yi = np.minimum((np.arange(oh) * ih // oh), ih - 1)
+    xi = np.minimum((np.arange(ow) * iw // ow), iw - 1)
+    return img[np.ix_(yi, xi)]
 
 
 def _read_exr_depth(filename: str) -> np.ndarray:

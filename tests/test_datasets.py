@@ -128,3 +128,152 @@ class TestTUM:
         _, _, _, c2w1 = ds[1]
         # relative translation preserved (1 unit along x)
         assert abs(c2w1[0, 3] - 1.0) < 1e-5
+
+
+class TestCropSizeResize:
+    """crop_size must follow the reference's torch semantics — color via
+    F.interpolate(align_corners=True), depth via torch 'nearest'
+    (ref: src/utils/datasets.py:96-103) — which differ from cv2.resize's
+    half-pixel mapping."""
+
+    @pytest.mark.parametrize("shape,out", [((8, 10), (5, 7)), ((7, 9), (12, 14))])
+    def test_bilinear_matches_torch_align_corners(self, shape, out):
+        import torch
+        import torch.nn.functional as F
+
+        from attentive_dfprior_tpu.utils.datasets import (
+            _resize_bilinear_align_corners,
+        )
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, shape + (3,)).astype(np.float64)
+        ours = _resize_bilinear_align_corners(img, out)
+        ref = F.interpolate(
+            torch.from_numpy(img).permute(2, 0, 1)[None],
+            out, mode="bilinear", align_corners=True,
+        )[0].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-12)
+
+    @pytest.mark.parametrize("shape,out", [((8, 10), (5, 7)), ((6, 6), (9, 4))])
+    def test_nearest_matches_torch(self, shape, out):
+        import torch
+        import torch.nn.functional as F
+
+        from attentive_dfprior_tpu.utils.datasets import _resize_nearest_torch
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 4, shape).astype(np.float32)
+        ours = _resize_nearest_torch(img, out)
+        ref = F.interpolate(
+            torch.from_numpy(img)[None, None], out, mode="nearest"
+        )[0, 0].numpy()
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_crop_size_in_loader(self, tmp_path):
+        """End-to-end: a ScanNet-style config with crop_size resizes both
+        maps with the torch mapping before crop_edge."""
+        import torch
+        import torch.nn.functional as F
+
+        folder = tmp_path / "scene" / "frames"
+        (folder / "color").mkdir(parents=True)
+        (folder / "depth").mkdir()
+        (folder / "pose").mkdir()
+        H, W = 12, 16
+        rng = np.random.default_rng(2)
+        bgr = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        cv2.imwrite(str(folder / "color" / "0.jpg"), bgr)
+        depth = rng.integers(500, 3000, (H, W)).astype(np.uint16)
+        cv2.imwrite(str(folder / "depth" / "0.png"), depth)
+        np.savetxt(str(folder / "pose" / "0.txt"), np.eye(4))
+
+        cfg = base_cfg(tmp_path / "scene", "scannet", H=H, W=W)
+        cfg["cam"]["crop_size"] = [8, 11]
+        ds = ScanNet(cfg)
+        idx, color, d, pose = ds[0]
+        assert color.shape == (8, 11, 3) and d.shape == (8, 11)
+        dm = depth.astype(np.float32) / 1000.0
+        ref_d = F.interpolate(
+            torch.from_numpy(dm)[None, None], (8, 11), mode="nearest"
+        )[0, 0].numpy()
+        np.testing.assert_allclose(d, ref_d, rtol=1e-6)
+
+
+class TestAzure:
+    def test_trajectory_log_poses(self, tmp_path):
+        """Azure reads 5-line blocks from scene/trajectory.log
+        (ref: src/utils/datasets.py:158-176)."""
+        from attentive_dfprior_tpu.utils.datasets import Azure
+
+        (tmp_path / "color").mkdir()
+        (tmp_path / "depth").mkdir()
+        (tmp_path / "scene").mkdir()
+        H, W = 8, 10
+        mats = []
+        lines = []
+        rng = np.random.default_rng(3)
+        for i in range(2):
+            write_frame(
+                tmp_path / "color" / f"{i:05d}.jpg",
+                tmp_path / "depth" / f"{i:05d}.png", H=H, W=W,
+            )
+            m = np.eye(4)
+            m[:3, 3] = rng.uniform(-1, 1, 3)
+            mats.append(m)
+            lines.append(f"{i} {i} {i+1}\n")
+            for r in range(4):
+                lines.append(" ".join(f"{v:.17g}" for v in m[r]) + "\n")
+        (tmp_path / "scene" / "trajectory.log").write_text("".join(lines))
+
+        ds = Azure(base_cfg(tmp_path, "azure", H=H, W=W))
+        assert len(ds) == 2
+        for i in range(2):
+            _, color, depth, pose = ds[i]
+            expect = mats[i].copy()
+            expect[:3, 1] *= -1
+            expect[:3, 2] *= -1
+            np.testing.assert_allclose(pose, expect, atol=1e-7)
+            assert color.shape == (H, W, 3)
+
+    def test_missing_trajectory_gives_identity(self, tmp_path):
+        from attentive_dfprior_tpu.utils.datasets import Azure
+
+        (tmp_path / "color").mkdir()
+        (tmp_path / "depth").mkdir()
+        write_frame(tmp_path / "color" / "0.jpg", tmp_path / "depth" / "0.png")
+        ds = Azure(base_cfg(tmp_path, "azure"))
+        np.testing.assert_array_equal(ds.poses[0], np.eye(4, dtype=np.float32))
+
+
+class TestCoFusion:
+    def test_exr_depth_and_identity_poses(self, tmp_path, monkeypatch):
+        """CoFusion reads colour/*.png + depth_noise/*.exr with identity
+        poses (ref: src/utils/datasets.py:211-231). The EXR reader needs
+        OpenEXR (absent here), so it is patched with a raw-float stub —
+        the test covers the loader's glob/scale/convention plumbing."""
+        import attentive_dfprior_tpu.utils.datasets as D
+
+        (tmp_path / "colour").mkdir()
+        (tmp_path / "depth_noise").mkdir()
+        H, W = 8, 10
+        bgr = np.zeros((H, W, 3), np.uint8)
+        bgr[..., 2] = 77
+        cv2.imwrite(str(tmp_path / "colour" / "Color0001.png"), bgr)
+        depth = np.full((H, W), 1.25, np.float32)
+        (tmp_path / "depth_noise" / "Depth0001.exr").write_bytes(
+            depth.tobytes()
+        )
+
+        def fake_exr(path):
+            return np.frombuffer(
+                open(path, "rb").read(), np.float32
+            ).reshape(H, W)
+
+        monkeypatch.setattr(D, "_read_exr_depth", fake_exr)
+        cfg = base_cfg(tmp_path, "cofusion", H=H, W=W, depth_scale=1.0)
+        ds = D.CoFusion(cfg)
+        assert len(ds) == 1
+        _, color, d, pose = ds[0]
+        np.testing.assert_allclose(d, 1.25, rtol=1e-6)
+        assert abs(color[0, 0, 0] - 77 / 255.0) < 0.02  # red->RGB[...,0]
+        np.testing.assert_array_equal(pose, np.eye(4, dtype=np.float32))
