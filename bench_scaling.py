@@ -4,31 +4,37 @@
 
 Measures the PRODUCTION data-parallel mapping stage (slam/mapper.py
 ``mapping_stage`` — scanned multi-iteration loop, ray batch sharded over a
-1-D dp mesh, replicated scene params, XLA-inserted gradient all-reduce) at
-n in {1, 2, 4, 8} devices for the two reference workload shapes:
+1-D dp mesh, replicated scene params, XLA-inserted gradient all-reduce) for
+the two reference workload shapes:
 
   - Replica: 1000 rays/iter (configs/df_prior.yaml:62-64)
   - ScanNet: 5000 rays/iter (configs/ScanNet/scannet.yaml:20-23)
 
-Efficiency(n) = rays_per_s(n) / (n * rays_per_s(1))  [strong scaling: the
-global ray batch is fixed, so per-device work shrinks with n].
+Three measurement modes (VERDICT r2 'Next round' item 4):
+  - strong: global ray batch fixed, per-device work shrinks with n.
+    Efficiency(n) = rays_per_s(n) / (n * rays_per_s(1)).
+  - weak: rays PER DEVICE fixed (--pixels is per-device), global batch
+    grows with n. Same efficiency formula (ideal rays/s is linear in n),
+    but per-device work — and thus the compute:communication ratio — stays
+    constant, which is the regime that actually predicts real-slice
+    behavior for this workload.
+  - batch growth (--accum k): k-fold larger ray batch per Adam step with
+    1/k as many optimizer steps (same total rays). Fewer gradient
+    all-reduces per ray => higher efficiency, at the cost of a k-fold
+    larger effective batch (staleness of the Adam state between updates).
 
-Each device count runs in a fresh subprocess with
-``--xla_force_host_platform_device_count=n`` so the mesh plumbing
-(sharding constraints, collectives, multi-executable dispatch) is exercised
-exactly as on a real pod slice.
-
-IMPORTANT CAVEAT (recorded in the output JSON): this machine exposes ONE
-real TPU chip and only 2 host cores. Virtual CPU "devices" share those
-cores, so CPU-mesh wall-clock CANNOT show real speedup — the CPU series
-validates the plumbing and measures collective/partition overhead, not
-hardware scaling. Real efficiency numbers require a real multi-chip slice;
-this harness is the measurement tool for that day (run it there unchanged
-with --platform native). The single-real-chip absolute rays/s is bench.py's
-job (BENCH_r*.json).
+Plus an ANALYTIC COMM MODEL (emitted into the JSON): the mapping step
+psums every gradient leaf (grids dominate) each iteration; the model
+computes ring-all-reduce bytes/step from the actual parameter pytree and
+predicts real-slice efficiency from the measured single-chip step time
+(bench.py / scripts/profile_mapping.py) and the ICI bandwidth of the
+recorded device kind. Virtual-CPU wall-clock CANNOT show real speedup
+(devices share 2 host cores — recorded caveat); the comm model is the
+bridge from plumbing-validation to a hardware prediction.
 
 Usage:
     python bench_scaling.py [--devices 1,2,4,8] [--pixels 1000,5000]
+                            [--mode strong|weak] [--accum 1,5]
                             [--iters 6] [--reps 3] [--out SCALING.json]
                             [--platform cpu|native] [--quick]
 """
@@ -43,7 +49,11 @@ import time
 
 def child_measure(n_devices: int, pixels: int, n_iters: int, reps: int,
                   platform: str) -> dict:
-    """Measure rays/s of the production mapping stage on an n-device mesh."""
+    """Measure rays/s of the production mapping stage on an n-device mesh.
+
+    ``pixels`` is the GLOBAL ray batch per iteration (the parent scales it
+    for weak mode / accum factors).
+    """
     if platform == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
@@ -87,6 +97,11 @@ def child_measure(n_devices: int, pixels: int, n_iters: int, reps: int,
         color_grid_len=0.16, fix_high=False, fix_color=False,
     )
     params = init_scene(jax.random.PRNGKey(0), scfg)
+    # bytes the dp gradient all-reduce moves per optimizer step (every
+    # leaf gets a grad; the grids dominate) — feeds the parent's comm model
+    grad_bytes = int(sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
+    ))
     voxel = 0.0625
     dims = tuple(int(np.ceil((bound[i, 1] - bound[i, 0]) / voxel)) for i in range(3))
     tsdf = jnp.asarray(
@@ -109,7 +124,7 @@ def child_measure(n_devices: int, pixels: int, n_iters: int, reps: int,
     tsdf = replicate(mesh, tsdf)
 
     lrs = StageLRs(decoders=5e-3, mlp=5e-3, low=5e-3, high=5e-3, color=5e-3)
-    pixs_per_image = pixels // F
+    pixs_per_image = max(1, pixels // F)
 
     def one_stage(params):
         astate = adam_init(params)
@@ -136,21 +151,95 @@ def child_measure(n_devices: int, pixels: int, n_iters: int, reps: int,
     rays = pixs_per_image * F * n_iters * reps
     return {
         "n_devices": n_devices,
-        "pixels": pixels,
+        "pixels": pixs_per_image * F,
         "rays_per_s": rays / elapsed,
         "compile_s": compile_s,
         "elapsed_s": elapsed,
+        "grad_bytes_per_step": grad_bytes,
         "backend": jax.default_backend(),
     }
+
+
+# published per-chip ICI bandwidth (bytes/s, bidirectional, ONE torus
+# axis — a 1-D dp ring uses one axis). Source: jax-ml.github.io/scaling-book
+# hardware table; the prediction's sensitivity to a 2x error here is
+# reported alongside.
+ICI_BW_BIDI = {
+    "TPU v4": 9.0e10,
+    "TPU v5 lite": 9.0e10,
+    "TPU v5e": 9.0e10,
+    "TPU v5p": 1.8e11,
+    "TPU v6 lite": 1.8e11,
+    "TPU v6e": 1.8e11,
+}
+
+
+def comm_model(grad_bytes: int, step_s_1dev: float, rays_per_step: int,
+               device_kind: str, n_list, accum_list) -> dict:
+    """Analytic dp-efficiency prediction for a real slice.
+
+    Per optimizer step each device ring-all-reduces the full gradient
+    pytree: bytes_on_wire/device = 2 * grad_bytes * (n-1)/n. With the
+    measured single-chip step time T1(rays), assuming compute scales
+    linearly in rays/device and the all-reduce is NOT overlapped (worst
+    case; XLA overlaps some of it):
+
+      strong:  T_comp(n) = T1 * (rays/n)/rays ;  eff = T_comp/(T_comp+T_comm)
+      weak:    T_comp(n) = T1                  ;  same formula
+      accum k: k fwd/bwd per all-reduce        ;  T_comm amortized k-fold
+    """
+    bw = next(
+        (v for k, v in ICI_BW_BIDI.items() if k.lower() in device_kind.lower()),
+        9.0e10,
+    )
+    out = {
+        "grad_bytes_per_step": grad_bytes,
+        "assumed_ici_bw_bidi_bytes_per_s": bw,
+        "device_kind": device_kind,
+        "measured_step_s_1dev": step_s_1dev,
+        "rays_per_step": rays_per_step,
+        "note": (
+            "all-reduce modeled UNoverlapped (worst case); halve T_comm for "
+            "a fully-overlapped bound. eff = T_comp/(T_comp+T_comm)."
+        ),
+    }
+    for regime in ("strong", "weak"):
+        rows = []
+        for n in n_list:
+            t_comm = 2.0 * grad_bytes * (n - 1) / n / bw
+            for k in accum_list:
+                # accum k amortizes ONE all-reduce over k fwd/bwd passes
+                t_comp = step_s_1dev * k * (1.0 if regime == "weak" else 1.0 / n)
+                eff = t_comp / (t_comp + t_comm) if n > 1 else 1.0
+                rows.append({
+                    "n": n, "accum": k,
+                    "t_comp_ms": round(t_comp * 1e3, 3),
+                    "t_allreduce_ms": round(t_comm * 1e3, 3),
+                    "efficiency": round(eff, 3),
+                })
+        out[regime] = rows
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--pixels", default="1000,5000")
+    ap.add_argument("--mode", default="strong", choices=["strong", "weak"],
+                    help="strong: --pixels is the global batch; weak: "
+                    "--pixels is rays PER DEVICE")
+    ap.add_argument("--accum", default="1",
+                    help="comma list of batch-growth factors k: k-fold rays "
+                    "per Adam step, 1/k steps (same total rays)")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--step-s-1dev", type=float, default=None,
+                    help="measured single-REAL-chip step seconds at the "
+                    "1000-ray workload for the comm model (default: read "
+                    "BENCH median cycle / 110 iters if BENCH_r*.json exists)")
+    ap.add_argument("--device-kind", default="TPU v5e",
+                    help="device kind for the comm model's ICI bandwidth")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "native"],
                     help="cpu = virtual-device plumbing run; native = run on "
                     "the real default backend (use on a real multi-chip slice)")
@@ -170,62 +259,101 @@ def main():
 
     device_list = [int(x) for x in args.devices.split(",")]
     pixel_list = [int(x) for x in args.pixels.split(",")]
+    accum_list = [int(x) for x in args.accum.split(",")]
 
     results = []
     for px in pixel_list:
         for n in device_list:
-            env = dict(os.environ)
-            if args.platform == "cpu":
-                env["JAX_PLATFORMS"] = "cpu"
-                env["XLA_FLAGS"] = (
-                    env.get("XLA_FLAGS", "")
-                    + f" --xla_force_host_platform_device_count={n}"
-                ).strip()
-            cmd = [
-                sys.executable, os.path.abspath(__file__), "--child",
-                "--n", str(n), "--px", str(px), "--iters", str(args.iters),
-                "--reps", str(args.reps), "--platform", args.platform,
-            ]
-            print(f"[bench_scaling] n={n} pixels={px} ...", flush=True)
-            out = subprocess.run(
-                cmd, env=env, capture_output=True, text=True, timeout=1800
-            )
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("CHILD_RESULT ")]
-            if not line:
-                print(out.stdout[-2000:], file=sys.stderr)
-                print(out.stderr[-2000:], file=sys.stderr)
-                raise RuntimeError(f"child n={n} px={px} failed")
-            rec = json.loads(line[-1][len("CHILD_RESULT "):])
-            print(f"    -> {rec['rays_per_s']:.0f} rays/s "
-                  f"(compile {rec['compile_s']:.0f}s)", flush=True)
-            results.append(rec)
+            for k in accum_list:
+                global_px = px * (n if args.mode == "weak" else 1) * k
+                env = dict(os.environ)
+                if args.platform == "cpu":
+                    env["JAX_PLATFORMS"] = "cpu"
+                    env["XLA_FLAGS"] = (
+                        env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count={n}"
+                    ).strip()
+                iters = max(2, args.iters // k)
+                cmd = [
+                    sys.executable, os.path.abspath(__file__), "--child",
+                    "--n", str(n), "--px", str(global_px),
+                    "--iters", str(iters),
+                    "--reps", str(args.reps), "--platform", args.platform,
+                ]
+                print(f"[bench_scaling] mode={args.mode} n={n} px/dev="
+                      f"{global_px // n} accum={k} ...", flush=True)
+                out = subprocess.run(
+                    cmd, env=env, capture_output=True, text=True, timeout=1800
+                )
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith("CHILD_RESULT ")]
+                if not line:
+                    print(out.stdout[-2000:], file=sys.stderr)
+                    print(out.stderr[-2000:], file=sys.stderr)
+                    raise RuntimeError(f"child n={n} px={px} failed")
+                rec = json.loads(line[-1][len("CHILD_RESULT "):])
+                rec["mode"] = args.mode
+                rec["accum"] = k
+                rec["base_pixels"] = px
+                print(f"    -> {rec['rays_per_s']:.0f} rays/s "
+                      f"(compile {rec['compile_s']:.0f}s)", flush=True)
+                results.append(rec)
 
-    # strong-scaling efficiency per workload
+    # efficiency per workload (both modes: ideal rays/s is linear in n)
     workloads = {}
     for px in pixel_list:
-        series = sorted(
-            [r for r in results if r["pixels"] == px],
-            key=lambda r: r["n_devices"],
-        )
-        base = next(r for r in series if r["n_devices"] == min(device_list))
-        workloads[f"{px}px"] = {
-            "n_devices": [r["n_devices"] for r in series],
-            "rays_per_s": [round(r["rays_per_s"], 1) for r in series],
-            "efficiency_vs_linear": [
-                round(
-                    r["rays_per_s"]
-                    / (base["rays_per_s"] * r["n_devices"] / base["n_devices"]),
-                    3,
-                )
-                for r in series
-            ],
-        }
+        for k in accum_list:
+            series = sorted(
+                [r for r in results
+                 if r["base_pixels"] == px and r["accum"] == k],
+                key=lambda r: r["n_devices"],
+            )
+            if not series:
+                continue
+            base = series[0]
+            tag = f"{px}px" + (f"_accum{k}" if k != 1 else "")
+            workloads[tag] = {
+                "mode": args.mode,
+                "n_devices": [r["n_devices"] for r in series],
+                "rays_per_s": [round(r["rays_per_s"], 1) for r in series],
+                "efficiency_vs_linear": [
+                    round(
+                        r["rays_per_s"]
+                        / (base["rays_per_s"] * r["n_devices"] / base["n_devices"]),
+                        3,
+                    )
+                    for r in series
+                ],
+            }
+
+    # analytic real-slice prediction from measured single-chip step time
+    step_s = args.step_s_1dev
+    if step_s is None:
+        # checked-in TPU profile if available, else BENCH cycle/110
+        try:
+            with open("PROFILE_r03.json") as f:
+                prof = json.load(f)
+            step_s = prof.get(
+                "full_iter_color_rows", prof["full_iter_color"]
+            ) / 1e3
+        except Exception:
+            try:
+                import glob
+
+                bench = sorted(glob.glob("BENCH_r*.json"))[-1]
+                with open(bench) as f:
+                    step_s = json.load(f)["cycle_s_median"] / 110.0
+            except Exception:
+                step_s = 0.020  # documented fallback guess
+    model = comm_model(
+        results[0]["grad_bytes_per_step"], step_s, pixel_list[0],
+        args.device_kind, device_list, accum_list if accum_list != [1] else [1, 5, 15],
+    )
 
     payload = {
         "harness": "bench_scaling.py",
         "metric": "mapping rays/s vs device count (production mapping_stage, "
-                  "ray-sharded dp, strong scaling)",
+                  f"ray-sharded dp, {args.mode} scaling)",
         "platform": (
             "cpu-virtual" if args.platform == "cpu" else results[0]["backend"]
         ),
@@ -233,11 +361,13 @@ def main():
             "virtual CPU devices share 2 physical host cores on this machine: "
             "this run validates the sharded-execution plumbing and measures "
             "partition/collective overhead, NOT hardware scaling. Run with "
-            "--platform native on a real multi-chip slice for true efficiency."
+            "--platform native on a real multi-chip slice for true efficiency. "
+            "The comm_model section is the hardware prediction."
             if args.platform == "cpu" else
             "measured on real devices"
         ),
         "workloads": workloads,
+        "comm_model": model,
         "raw": results,
     }
     with open(args.out, "w") as f:
