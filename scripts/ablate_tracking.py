@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Tracking-knob ablation on the synthetic real-tracking demo.
+
+Runs the full SLAM loop of configs/Synthetic/room_tracking.yaml under a grid
+of tracking overrides and reports aligned + unaligned ATE RMSE per variant
+(the evaluation contract of ref: src/tools/eval_ate.py:113-223). Side outputs
+(meshing/checkpoints) are disabled — this measures the trajectory only.
+
+Usage:
+    python scripts/ablate_tracking.py [--end_idx N] [--variants a,b,...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# Deep-dict override helper: {"tracking.lr": 0.001} -> cfg["tracking"]["lr"]
+def apply(cfg, overrides):
+    for k, v in overrides.items():
+        d = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+
+
+VARIANTS = {
+    # round-2 shipped demo settings (README 6.2 cm row)
+    "base": {},
+    "decay01": {"tracking.lr_final_factor": 0.1},
+    "decay002": {"tracking.lr_final_factor": 0.02},
+    "nodyn": {"tracking.handle_dynamic": False},
+    "nodyn_decay01": {
+        "tracking.handle_dynamic": False,
+        "tracking.lr_final_factor": 0.1,
+    },
+    "seplr_decay01": {
+        "tracking.seperate_LR": True,
+        "tracking.lr_final_factor": 0.1,
+    },
+    "iters100_decay01": {
+        "tracking.iters": 100,
+        "tracking.lr_final_factor": 0.1,
+    },
+    "lr3e3_decay002": {
+        "tracking.lr": 0.003,
+        "tracking.lr_final_factor": 0.02,
+    },
+}
+
+
+def ate_rmse(est, gt, n):
+    """Aligned ATE RMSE in cm (Horn alignment, ref eval_ate protocol)."""
+    from attentive_dfprior_tpu.tools.eval_ate import align
+
+    first = np.asarray([p[:3, 3] for p in gt[:n]]).T  # (3, n)
+    second = np.asarray([p[:3, 3] for p in est[:n]]).T
+    rot, trans, trans_error = align(second, first)
+    return float(np.sqrt(np.dot(trans_error, trans_error) / len(trans_error)) * 100)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/Synthetic/room_tracking.yaml")
+    ap.add_argument("--end_idx", type=int, default=None)
+    ap.add_argument("--variants", default=None, help="comma list; default all")
+    ap.add_argument("--out", default="/tmp/ablate_tracking.json")
+    args = ap.parse_args()
+
+    from attentive_dfprior_tpu.config import default_config_path, load_config
+    from attentive_dfprior_tpu.slam.system import SLAMSystem
+    from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    names = list(VARIANTS) if args.variants is None else args.variants.split(",")
+    results = {}
+    for name in names:
+        cfg = load_config(args.config, default_config_path())
+        cfg["seed"] = 0
+        apply(cfg, VARIANTS[name])
+        out_dir = f"/tmp/ablate_out/{name}"
+        os.makedirs(out_dir, exist_ok=True)
+        np.random.seed(0)
+        sys_ = SLAMSystem(cfg, output=out_dir)
+        sys_._side_outputs = lambda *a, **k: None  # trajectory-only run
+        t0 = time.time()
+        est = sys_.run(end_idx=args.end_idx)
+        dt = time.time() - t0
+        n = args.end_idx or sys_.n_img
+        gt = sys_.gt_c2w_list
+        unaligned = float(
+            np.sqrt(
+                (np.linalg.norm(est[:n, :3, 3] - gt[:n, :3, 3], axis=1) ** 2).mean()
+            )
+            * 100
+        )
+        aligned = ate_rmse(est, gt, n)
+        results[name] = {
+            "ate_cm_aligned": round(aligned, 3),
+            "ate_cm_unaligned": round(unaligned, 3),
+            "wall_s": round(dt, 1),
+            "overrides": VARIANTS[name],
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
