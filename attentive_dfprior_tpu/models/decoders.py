@@ -23,6 +23,7 @@ for row-major batges on the MXU).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -356,3 +357,16 @@ def load_pretrained_low_high(
     out["low"] = apply_sd(params["low"], low_sd)
     out["high"] = apply_sd(params["high"], high_sd)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("stage", "fused"))
+def eval_points_chunk(params, pts, tsdf_volume, tsdf_bnds, bound, stage, fused=False):
+    """One jitted chunk of the point-query path shared by the renderer's
+    ``eval_points`` and the mesher: ``df_forward`` + the reference's
+    out-of-bound occ=100 wall (ref: src/utils/Renderer.py:27-71)."""
+    raw, _ = df_forward(
+        params, pts, params, tsdf_volume, tsdf_bnds, bound, stage, fused=fused
+    )
+    inside = jnp.all((pts > bound[:, 0]) & (pts < bound[:, 1]), axis=-1)
+    occ = jnp.where(inside, raw[:, 3], 100.0)
+    return jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)

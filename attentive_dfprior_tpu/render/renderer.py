@@ -238,7 +238,7 @@ class Renderer:
         occ=100 wall (ref: Renderer.py:27-71)."""
         import numpy as np
 
-        from attentive_dfprior_tpu.utils.mesher import _eval_chunk
+        from attentive_dfprior_tpu.models.decoders import eval_points_chunk
 
         p = np.asarray(p, dtype=np.float32)
         bs = 2**17
@@ -248,7 +248,7 @@ class Renderer:
             m = len(chunk)
             if m < bs:
                 chunk = np.pad(chunk, ((0, bs - m), (0, 0)))
-            ret = _eval_chunk(
+            ret = eval_points_chunk(
                 params, jnp.asarray(chunk), tsdf_volume, self.tsdf_bnds,
                 self.bound, stage, fused=self.use_fused,
             )

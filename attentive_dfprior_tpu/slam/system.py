@@ -68,10 +68,14 @@ def load_tsdf_volume(cfg: Dict[str, Any], args=None):
         if cached_voxel is None or abs(cached_voxel - cfg_voxel) < 1e-9:
             print(f"TSDF prior: loaded cache {npz_path} (shape {data['tsdf'].shape})")
             tsdf = np.asarray(data["tsdf"])
-            observed = (
-                np.asarray(data["observed"]) if "observed" in data
-                else tsdf != -1.0  # legacy cache: -1 is the untouched init
-            )
+            if "observed" in data:
+                observed = np.asarray(data["observed"])
+            else:
+                # legacy cache without the weight mask: resolve the
+                # -1.0-is-ambiguous case by surface-band adjacency
+                from attentive_dfprior_tpu.tsdf.fusion import legacy_observed_mask
+
+                observed = legacy_observed_mask(tsdf)
             return jnp.asarray(tsdf), np.asarray(data["bounds"]), observed
         print(
             f"TSDF cache {npz_path} voxel_size {cached_voxel} != configured "
@@ -86,8 +90,11 @@ def load_tsdf_volume(cfg: Dict[str, Any], args=None):
         bnds = torch.load(
             os.path.join(base, f"{prefix}_bounds.pt"), map_location="cpu"
         )
-        # the reference saves no weights; exactly -1.0 == untouched init
-        return jnp.asarray(vol), np.asarray(bnds), vol != -1.0
+        # the reference saves no weights; -1.0 is ambiguous (untouched init
+        # OR clamped observed average) -- resolve by surface-band adjacency
+        from attentive_dfprior_tpu.tsdf.fusion import legacy_observed_mask
+
+        return jnp.asarray(vol), np.asarray(bnds), legacy_observed_mask(vol)
 
     # lazily fuse (synthetic or any locally-readable dataset)
     from attentive_dfprior_tpu.tsdf.builder import build_tsdf_volume

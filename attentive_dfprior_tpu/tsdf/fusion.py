@@ -271,3 +271,36 @@ def fill_unobserved_volume(
     )
     nearest_sign = np.where(tsdf[tuple(ix)] >= 0, 1.0, -1.0).astype(tsdf.dtype)
     return np.where(observed, tsdf, nearest_sign)
+
+
+def legacy_observed_mask(tsdf: np.ndarray) -> np.ndarray:
+    """Recover an observed-voxel mask from a weightless legacy volume.
+
+    Caches written by our builder store the fusion-weight mask explicitly;
+    the reference's ``.pt`` volumes (and our pre-round-3 ``.npz`` caches)
+    save only the TSDF values, where -1.0 is both the untouched init
+    (ref: src/fusion.py:52) AND a legitimate running average for an observed
+    voxel sitting exactly at the truncation clamp. Plain ``tsdf != -1.0``
+    misclassifies the latter as unobserved, and ``fill_unobserved_volume``
+    would then flip it to +1, eroding genuinely occupied space.
+
+    Resolution: a voxel at exactly -1.0 is *ambiguous*; treat it as observed
+    when any 6-neighbor is an observed voxel strictly inside the interior
+    band (-1 < tsdf < 0) — the only place a clamped-at--1 running average
+    can physically occur is one truncation step behind the band. A single
+    dilation pass (not a flood fill: deep interior connected to the band is
+    genuinely the untouched init and must stay unobserved so
+    ``fill_unobserved_volume`` keeps it at the nearest observed sign).
+    """
+    observed = tsdf != -1.0
+    if observed.all() or not observed.any():
+        return observed
+    band = observed & (tsdf < 0)
+    adj = np.zeros_like(band)
+    adj[1:, :, :] |= band[:-1, :, :]
+    adj[:-1, :, :] |= band[1:, :, :]
+    adj[:, 1:, :] |= band[:, :-1, :]
+    adj[:, :-1, :] |= band[:, 1:, :]
+    adj[:, :, 1:] |= band[:, :, :-1]
+    adj[:, :, :-1] |= band[:, :, 1:]
+    return observed | (~observed & adj)

@@ -14,7 +14,6 @@ TPU-native equivalent of the reference Mesher (ref: src/utils/Mesher.py):
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -23,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from attentive_dfprior_tpu.camera import Camera
-from attentive_dfprior_tpu.models.decoders import df_forward
+from attentive_dfprior_tpu.models.decoders import eval_points_chunk
 from attentive_dfprior_tpu.render.renderer import RenderConfig
 from attentive_dfprior_tpu.utils.marching_cubes import marching_cubes
 from attentive_dfprior_tpu.utils.mesh import (
@@ -36,14 +35,6 @@ from attentive_dfprior_tpu.utils.mesh import (
 from attentive_dfprior_tpu.utils.ply import write_ply
 
 
-@functools.partial(jax.jit, static_argnames=("stage", "fused"))
-def _eval_chunk(params, pts, tsdf_volume, tsdf_bnds, bound, stage, fused=False):
-    raw, _ = df_forward(
-        params, pts, params, tsdf_volume, tsdf_bnds, bound, stage, fused=fused
-    )
-    inside = jnp.all((pts > bound[:, 0]) & (pts < bound[:, 1]), axis=-1)
-    occ = jnp.where(inside, raw[:, 3], 100.0)
-    return jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
 
 
 class Mesher:
@@ -106,7 +97,7 @@ class Mesher:
             m = len(chunk)
             if m < bs:
                 chunk = np.pad(chunk, ((0, bs - m), (0, 0)))
-            ret = _eval_chunk(
+            ret = eval_points_chunk(
                 params,
                 jnp.asarray(chunk, dtype=jnp.float32),
                 tsdf_volume,

@@ -3,8 +3,9 @@
 
 Runs the full SLAM loop of configs/Synthetic/room_tracking.yaml under a grid
 of tracking overrides and reports aligned + unaligned ATE RMSE per variant
-(the evaluation contract of ref: src/tools/eval_ate.py:113-223). Side outputs
-(meshing/checkpoints) are disabled — this measures the trajectory only.
+(the evaluation contract of ref: src/tools/eval_ate.py:113-223, routed
+through tools.eval_ate.evaluate_ate so there is ONE eval code path). Side
+outputs (meshing/checkpoints) are disabled — this measures trajectory only.
 
 Usage:
     python scripts/ablate_tracking.py [--end_idx N] [--variants a,b,...]
@@ -52,17 +53,38 @@ VARIANTS = {
         "tracking.lr": 0.003,
         "tracking.lr_final_factor": 0.02,
     },
+    # sampling-budget axis (VERDICT r03 item 1: pixels 200->1000, iters ->20/50)
+    "px1000": {"tracking.pixels": 1000},
+    "px1000_decay01": {"tracking.pixels": 1000, "tracking.lr_final_factor": 0.1},
+    "iters20_decay01": {"tracking.iters": 20, "tracking.lr_final_factor": 0.1},
+    "iters50_decay01": {"tracking.iters": 50, "tracking.lr_final_factor": 0.1},
+    "px1000_iters20_decay01": {
+        "tracking.pixels": 1000,
+        "tracking.iters": 20,
+        "tracking.lr_final_factor": 0.1,
+    },
+    "px1000_iters50_decay01": {
+        "tracking.pixels": 1000,
+        "tracking.iters": 50,
+        "tracking.lr_final_factor": 0.1,
+    },
+    "px500_iters20_decay01": {
+        "tracking.pixels": 500,
+        "tracking.iters": 20,
+        "tracking.lr_final_factor": 0.1,
+    },
 }
 
 
 def ate_rmse(est, gt, n):
-    """Aligned ATE RMSE in cm (Horn alignment, ref eval_ate protocol)."""
-    from attentive_dfprior_tpu.tools.eval_ate import align
+    """Aligned ATE RMSE in cm via the production evaluate_ate path
+    (timestamps = frame indices; advisor r03: single eval code path)."""
+    from attentive_dfprior_tpu.tools.eval_ate import evaluate_ate
 
-    first = np.asarray([p[:3, 3] for p in gt[:n]]).T  # (3, n)
-    second = np.asarray([p[:3, 3] for p in est[:n]]).T
-    rot, trans, trans_error = align(second, first)
-    return float(np.sqrt(np.dot(trans_error, trans_error) / len(trans_error)) * 100)
+    first = {float(i): np.asarray(est[i]) for i in range(n)}
+    second = {float(i): np.asarray(gt[i]) for i in range(n)}
+    res = evaluate_ate(first, second)
+    return float(res["absolute_translational_error.rmse"] * 100)
 
 
 def main():
@@ -78,6 +100,8 @@ def main():
     from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.end_idx is not None and args.end_idx <= 0:
+        ap.error("--end_idx must be positive")
 
     names = list(VARIANTS) if args.variants is None else args.variants.split(",")
     results = {}
@@ -93,7 +117,13 @@ def main():
         t0 = time.time()
         est = sys_.run(end_idx=args.end_idx)
         dt = time.time() - t0
-        n = args.end_idx or sys_.n_img
+        # evaluate only frames the run actually processed (mirror run()'s
+        # clamp incl. mapping.stop_at_frame; advisor r03: unprocessed rows
+        # are all-zero poses that pollute the ATE)
+        n = sys_.n_img if args.end_idx is None else min(args.end_idx, sys_.n_img)
+        stop = cfg.get("mapping", {}).get("stop_at_frame")
+        if stop is not None:
+            n = min(n, int(stop) + 1)
         gt = sys_.gt_c2w_list
         unaligned = float(
             np.sqrt(
@@ -106,12 +136,14 @@ def main():
             "ate_cm_aligned": round(aligned, 3),
             "ate_cm_unaligned": round(unaligned, 3),
             "wall_s": round(dt, 1),
+            "n_frames": n,
             "overrides": VARIANTS[name],
         }
         print(json.dumps({name: results[name]}), flush=True)
+        # rewrite after every variant so a crash on variant k keeps 0..k-1
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
 
 

@@ -30,3 +30,30 @@ assert jax.default_backend() == "cpu", (
     f"tests must run on CPU, got {jax.default_backend()}"
 )
 assert jax.device_count() >= 8, "expected 8 virtual CPU devices for sharding tests"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-SLAM runs (minutes-to-tens-of-minutes on a small CPU box). "
+        "Deselected by default; run with --runslow or `pytest -m slow`.",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full SLAMSystem.run() integration)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # an explicit -m expression (e.g. `-m slow`) takes full control
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="slow tier: use --runslow or -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

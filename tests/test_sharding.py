@@ -61,6 +61,7 @@ def _tiny_slam_cfg(tmpdir: str):
     return cfg
 
 
+@pytest.mark.slow
 def test_slam_run_dp_matches_single_device(tmp_path):
     """VERDICT r1 item 2: a full SLAMSystem.run() (production mapping_stage +
     track_frame, keyframes, window selection) on the 8-virtual-device mesh

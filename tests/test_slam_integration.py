@@ -15,6 +15,8 @@ import pytest
 
 from attentive_dfprior_tpu.config import default_config_path, load_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cfg():

@@ -93,6 +93,7 @@ def test_padded_scan_matches_unpadded():
         )
 
 
+@pytest.mark.slow
 def test_vis_run_compiles_bounded_executables(tmp_path):
     """A vis-enabled synthetic run adds <= 2 mapping_stage executables per
     stage (VERDICT r2 'Next round' item 7 asks <= 4)."""
