@@ -127,7 +127,9 @@ def keyframe_selection_overlap(
     )
     percent_inside = inside.mean(axis=1)  # (K,)
 
-    order = np.argsort(-percent_inside)
+    # stable: ties keep insertion order, like the reference's sorted()
+    # (ref: src/Mapper.py:216-217)
+    order = np.argsort(-percent_inside, kind="stable")
     selected = [int(i) for i in order if percent_inside[i] > 0.0]
     perm = rng.permutation(len(selected))
     return [selected[int(p)] for p in perm[:k]]
