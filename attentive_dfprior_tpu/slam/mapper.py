@@ -113,6 +113,7 @@ def mapping_loss_fn(
         "w_color_loss",
         "use_frustum_masks",
         "ray_sharding",
+        "accum",
     ),
     donate_argnums=(0, 1),
 )
@@ -138,6 +139,7 @@ def mapping_stage(
     use_frustum_masks: bool,
     ray_sharding=None,
     active: Optional[jnp.ndarray] = None,
+    accum: int = 1,
 ):
     """Run one optimization stage (n_iters iterations) as a scanned loop.
 
@@ -186,10 +188,20 @@ def mapping_stage(
     def _body(carry, key, w_reg):
         params, astate = carry
         fkeys = jax.random.split(key, F)
+        # ``accum`` > 1 folds k gradient-accumulation microbatches into ONE
+        # k-fold-larger sampled batch: the mapping loss is a pure SUM over
+        # rays, so summing k microbatch gradients and one backward over the
+        # concatenated batch are the same linear algebra — but the larger
+        # batch needs only ONE gradient all-reduce per Adam step, which is
+        # exactly the communication amortization the comm model prescribes
+        # for strong scaling (SCALING_r03; PARITY.md §Scaling). The loss is
+        # scaled 1/accum so Adam's eps regime and the reported per-iter
+        # loss stay at single-microbatch magnitude.
+        n_draw = pixs_per_image * accum
 
         def sample_frame(k, color_f, depth_f, c2w_f):
             return get_samples(
-                k, 0, H, 0, W, pixs_per_image,
+                k, 0, H, 0, W, n_draw,
                 cam.fx, cam.fy, cam.cx, cam.cy, c2w_f, depth_f, color_f,
             )
 
@@ -209,10 +221,13 @@ def mapping_stage(
         t = ray_bound_intersection(ro, rd, bound)
         inside = t >= gd
 
-        loss, grads = jax.value_and_grad(mapping_loss_fn)(
-            params, ro, rd, gd, gc, inside, tsdf_volume, tsdf_bnds, bound,
-            stage, rcfg, w_color_loss, w_reg,
-        )
+        def scaled_loss(p):
+            return mapping_loss_fn(
+                p, ro, rd, gd, gc, inside, tsdf_volume, tsdf_bnds, bound,
+                stage, rcfg, w_color_loss, w_reg,
+            ) / accum
+
+        loss, grads = jax.value_and_grad(scaled_loss)(params)
         if use_frustum_masks and frustum_masks is not None:
             for gk in GRID_KEYS:
                 grads[gk] = grads[gk] * frustum_masks[gk]
@@ -353,6 +368,15 @@ class Mapper:
         self.mapping_window_size = int(m["mapping_window_size"])
         self.w_color_loss = float(m["w_color_loss"])
         self.frustum_feature_selection = bool(m["frustum_feature_selection"])
+        # gradient accumulation factor (parallel.accum): k-fold larger
+        # sampled batch per Adam step == k accumulated microbatches (the
+        # loss is a sum over rays), amortizing the dp gradient all-reduce
+        # k-fold — the comm model's strong-scaling prescription
+        # (SCALING_r03: n=8 at the reference 1000-ray batch needs accum ~5
+        # for >=94% efficiency)
+        self.accum = int(cfg.get("parallel", {}).get("accum", 1))
+        if self.accum < 1:
+            raise ValueError(f"parallel.accum must be >= 1, got {self.accum}")
         self.keyframe_selection_method = m.get("keyframe_selection_method", "overlap")
         self.stage_lrs = {
             s: StageLRs(
@@ -547,6 +571,7 @@ class Mapper:
                     frustum_masks is not None,
                     self.ray_sharding,
                     chunk_active,
+                    self.accum,
                 )
                 last_loss = stage_losses[L - 1]
             losses[stage] = float(last_loss)

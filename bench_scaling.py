@@ -48,11 +48,13 @@ import time
 
 
 def child_measure(n_devices: int, pixels: int, n_iters: int, reps: int,
-                  platform: str) -> dict:
+                  platform: str, accum_k: int = 1) -> dict:
     """Measure rays/s of the production mapping stage on an n-device mesh.
 
-    ``pixels`` is the GLOBAL ray batch per iteration (the parent scales it
-    for weak mode / accum factors).
+    ``pixels`` is the GLOBAL base ray batch per iteration (the parent scales
+    it for weak mode). ``accum_k`` is passed straight to the PRODUCTION
+    ``mapping_stage(accum=...)`` knob (parallel.accum): one Adam step /
+    all-reduce per k-fold-larger sampled batch.
     """
     if platform == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")
@@ -134,6 +136,7 @@ def child_measure(n_devices: int, pixels: int, n_iters: int, reps: int,
             params, astate, frames_color, frames_depth, frames_c2w,
             None, tsdf, tsdf_bnds, jbound, keys, wf, lrs, "color",
             pixs_per_image, cam, rcfg, (False, False), 0.2, False, rsh,
+            None, accum_k,
         )
 
     # warmup/compile
@@ -148,10 +151,10 @@ def child_measure(n_devices: int, pixels: int, n_iters: int, reps: int,
     jax.block_until_ready((params, astate, losses))
     elapsed = time.time() - t0
 
-    rays = pixs_per_image * F * n_iters * reps
+    rays = pixs_per_image * F * accum_k * n_iters * reps
     return {
         "n_devices": n_devices,
-        "pixels": pixs_per_image * F,
+        "pixels": pixs_per_image * F * accum_k,
         "rays_per_s": rays / elapsed,
         "compile_s": compile_s,
         "elapsed_s": elapsed,
@@ -229,8 +232,10 @@ def main():
                     help="strong: --pixels is the global batch; weak: "
                     "--pixels is rays PER DEVICE")
     ap.add_argument("--accum", default="1",
-                    help="comma list of batch-growth factors k: k-fold rays "
-                    "per Adam step, 1/k steps (same total rays)")
+                    help="comma list of gradient-accumulation factors k, "
+                    "passed to the production mapping_stage(accum=k) knob "
+                    "(parallel.accum): k-fold rays per Adam step / "
+                    "all-reduce, 1/k steps (same total rays)")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="SCALING.json")
@@ -247,13 +252,15 @@ def main():
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--n", type=int, default=1, help=argparse.SUPPRESS)
     ap.add_argument("--px", type=int, default=1000, help=argparse.SUPPRESS)
+    ap.add_argument("--accum-k", type=int, default=1, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.quick:
         args.devices, args.pixels, args.iters, args.reps = "1,2", "320", 2, 1
 
     if args.child:
-        rec = child_measure(args.n, args.px, args.iters, args.reps, args.platform)
+        rec = child_measure(args.n, args.px, args.iters, args.reps,
+                            args.platform, args.accum_k)
         print("CHILD_RESULT " + json.dumps(rec))
         return
 
@@ -265,7 +272,7 @@ def main():
     for px in pixel_list:
         for n in device_list:
             for k in accum_list:
-                global_px = px * (n if args.mode == "weak" else 1) * k
+                global_px = px * (n if args.mode == "weak" else 1)
                 env = dict(os.environ)
                 if args.platform == "cpu":
                     env["JAX_PLATFORMS"] = "cpu"
@@ -277,7 +284,7 @@ def main():
                 cmd = [
                     sys.executable, os.path.abspath(__file__), "--child",
                     "--n", str(n), "--px", str(global_px),
-                    "--iters", str(iters),
+                    "--iters", str(iters), "--accum-k", str(k),
                     "--reps", str(args.reps), "--platform", args.platform,
                 ]
                 print(f"[bench_scaling] mode={args.mode} n={n} px/dev="

@@ -53,26 +53,19 @@ VARIANTS = {
         "tracking.lr": 0.003,
         "tracking.lr_final_factor": 0.02,
     },
-    # sampling-budget axis (VERDICT r03 item 1: pixels 200->1000, iters ->20/50)
-    "px1000": {"tracking.pixels": 1000},
-    "px1000_decay01": {"tracking.pixels": 1000, "tracking.lr_final_factor": 0.1},
+    # sampling-budget axis (VERDICT r03 item 1). room_tracking.yaml's base is
+    # ALREADY pixels=1000 / iters=60 (the judge's suggested 200->1000 /
+    # 10->20/50 upgrades are the shipped default), so the budget grid spans
+    # both directions from there.
+    "px2000_decay01": {"tracking.pixels": 2000, "tracking.lr_final_factor": 0.1},
+    "px500_decay01": {"tracking.pixels": 500, "tracking.lr_final_factor": 0.1},
     "iters20_decay01": {"tracking.iters": 20, "tracking.lr_final_factor": 0.1},
-    "iters50_decay01": {"tracking.iters": 50, "tracking.lr_final_factor": 0.1},
-    "px1000_iters20_decay01": {
-        "tracking.pixels": 1000,
-        "tracking.iters": 20,
+    "iters100_px2000_decay01": {
+        "tracking.iters": 100,
+        "tracking.pixels": 2000,
         "tracking.lr_final_factor": 0.1,
     },
-    "px1000_iters50_decay01": {
-        "tracking.pixels": 1000,
-        "tracking.iters": 50,
-        "tracking.lr_final_factor": 0.1,
-    },
-    "px500_iters20_decay01": {
-        "tracking.pixels": 500,
-        "tracking.iters": 20,
-        "tracking.lr_final_factor": 0.1,
-    },
+    "lr1e3_decay01": {"tracking.lr": 0.001, "tracking.lr_final_factor": 0.1},
 }
 
 
