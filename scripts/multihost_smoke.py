@@ -14,6 +14,12 @@ executed anywhere. This smoke runs it for real, twice over:
            psum across PROCESSES with shard_map — the exact collective
            shape of the per-host pose optimization (SURVEY §5: per-host
            ray shard, psum'd scalar). Asserts the reduced value.
+  phase 3  (VERDICT r03 item 5) runs the PRODUCTION ``mapping_stage`` —
+           scanned 3-iteration color-stage optimization, rays sharded over
+           the dp axis, XLA-inserted cross-process gradient all-reduce —
+           on a 2-process x 4-virtual-CPU-device global mesh, and asserts
+           the per-iteration map losses match a single-process 8-device
+           run of the identical step to 1e-4.
 
 Writes a JSON record (default MULTIHOST_SMOKE.json) so the execution is
 checked in. Exit code 0 = both phases passed.
@@ -79,15 +85,127 @@ def worker(proc_id: int, port: int) -> None:
           flush=True)
 
 
+def _mapping_losses(mesh):
+    """Run the production mapping_stage (3 scanned color-stage iterations,
+    rays sharded over ``dp``) on the given GLOBAL mesh; return the losses.
+
+    Identical inputs regardless of process topology: params/frames are
+    replicated onto the mesh, the PRNG chain is fixed, so any drift between
+    topologies is a collective-semantics bug, not data noise.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as ge
+    from attentive_dfprior_tpu.camera import Camera
+    from attentive_dfprior_tpu.ops.adam import adam_init
+    from attentive_dfprior_tpu.render.renderer import RenderConfig
+    from attentive_dfprior_tpu.slam.mapper import StageLRs, mapping_stage
+
+    params, tsdf, tsdf_bnds, bound, _ = ge._tiny_scene()
+    rcfg = RenderConfig(N_samples=8, N_surface=4)
+    lrs = StageLRs(decoders=5e-3, mlp=5e-3, low=5e-3, high=5e-3, color=5e-3)
+    cam = Camera(H=24, W=32, fx=24.0, fy=24.0, cx=15.5, cy=11.5)
+    F, n_iters, pixs = 2, 3, 16
+    rng = np.random.default_rng(3)
+    colors = rng.uniform(0, 1, (F, cam.H, cam.W, 3)).astype(np.float32)
+    depths = rng.uniform(0.4, 0.9, (F, cam.H, cam.W)).astype(np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.0, 0.0, 0.3]
+    c2ws = np.tile(c2w, (F, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(4), n_iters)
+    wf = np.zeros((n_iters,), np.float32)
+
+    rep = NamedSharding(mesh, P())
+
+    def repl(x):
+        # replication that works in both single- and multi-process runs
+        return jax.make_array_from_process_local_data(
+            rep, np.asarray(x), global_shape=np.asarray(x).shape
+        )
+
+    params = jax.tree_util.tree_map(repl, params)
+    astate = adam_init(params)
+    rsh = NamedSharding(mesh, P("dp"))
+    tsdf_r = jax.tree_util.tree_map(repl, tsdf)  # TSDFRows pytree
+    _, _, losses = mapping_stage(
+        params, astate, repl(colors), repl(depths), repl(c2ws),
+        None, tsdf_r, repl(np.asarray(tsdf_bnds)),
+        repl(np.asarray(bound)),
+        repl(np.asarray(keys)), repl(wf), lrs, "color", pixs, cam, rcfg,
+        (False, False), 0.2, False, rsh, None, 1,
+    )
+    return [float(x) for x in np.asarray(losses)]
+
+
+def mapping_worker(proc_id: int, port: int) -> None:
+    """Phase-3 worker: 4 virtual CPU devices per process, 2 processes ->
+    global 8-device dp mesh; runs the production mapping_stage."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=4"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=2,
+        process_id=proc_id,
+    )
+    import numpy as np
+    from jax.sharding import Mesh
+
+    assert jax.process_count() == 2
+    assert jax.device_count() == 8, jax.devices()
+    assert jax.local_device_count() == 4
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    losses = _mapping_losses(mesh)
+    print(f"MAPPING_OK {proc_id} losses={json.dumps(losses)}", flush=True)
+
+
+def mapping_single() -> None:
+    """Phase-3 reference: the same step on a single-process 8-device mesh."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import Mesh
+
+    assert jax.device_count() == 8
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    losses = _mapping_losses(mesh)
+    print(f"MAPPING_SINGLE losses={json.dumps(losses)}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="MULTIHOST_SMOKE.json")
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--map-worker", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--map-single", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--port", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.worker is not None:
         worker(args.worker, args.port)
+        return
+    if args.map_worker is not None:
+        mapping_worker(args.map_worker, args.port)
+        return
+    if args.map_single:
+        mapping_single()
         return
 
     record = {"phases": {}, "ok": False}
@@ -151,7 +269,62 @@ def main():
         for o in outs:
             print(o[-1500:], file=sys.stderr)
 
-    record["ok"] = ok1 and ok2
+    # ---- phase 3: PRODUCTION mapping_stage across processes ----
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--map-single"],
+        cwd=REPO, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        capture_output=True, text=True, timeout=900,
+    )
+    single_line = [l for l in out.stdout.splitlines()
+                   if l.startswith("MAPPING_SINGLE ")]
+    losses_single = (
+        json.loads(single_line[-1].split("losses=", 1)[1]) if single_line else None
+    )
+    port = free_port()
+    procs = []
+    for i in range(2):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--map-worker", str(i), "--port", str(port)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    losses_multi = None
+    for o in outs:
+        for l in o.splitlines():
+            if l.startswith("MAPPING_OK 0 "):
+                losses_multi = json.loads(l.split("losses=", 1)[1])
+    ok3 = (
+        all(p.returncode == 0 for p in procs)
+        and losses_single is not None
+        and losses_multi is not None
+        and len(losses_single) == len(losses_multi)
+        and all(
+            abs(a - b) <= 1e-4 * max(1.0, abs(b))
+            for a, b in zip(losses_multi, losses_single)
+        )
+    )
+    record["phases"]["cross_process_mapping_stage"] = {
+        "ok": ok3,
+        "map_loss_multi_2proc_x4dev": losses_multi,
+        "map_loss_single_8dev": losses_single,
+        "note": (
+            "production slam/mapper.py mapping_stage, 3 scanned color-stage "
+            "iterations, rays sharded over dp, XLA cross-process gradient "
+            "all-reduce; tolerance 1e-4 relative"
+        ),
+    }
+    print(f"[phase3 2-process production mapping_stage] ok={ok3} "
+          f"multi={losses_multi} single={losses_single}", flush=True)
+    if not ok3:
+        for o in outs:
+            print(o[-2000:], file=sys.stderr)
+        print(out.stdout[-1500:], file=sys.stderr)
+        print(out.stderr[-1500:], file=sys.stderr)
+
+    record["ok"] = ok1 and ok2 and ok3
     record["when"] = time.strftime("%Y-%m-%d %H:%M:%S")
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(record, f, indent=1)

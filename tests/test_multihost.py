@@ -43,3 +43,7 @@ def test_multihost_smoke(tmp_path):
     assert rec["ok"]
     assert rec["phases"]["runpy_init"]["ok"]
     assert rec["phases"]["cross_process_psum"]["ok"]
+    # VERDICT r03 item 5: the production mapping_stage ran across processes
+    ph3 = rec["phases"]["cross_process_mapping_stage"]
+    assert ph3["ok"]
+    assert len(ph3["map_loss_multi_2proc_x4dev"]) == 3
