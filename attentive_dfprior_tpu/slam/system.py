@@ -296,6 +296,9 @@ class SLAMSystem:
     def _log_metrics(self, record: Dict[str, Any]) -> None:
         import json
 
+        # wall-clock stamp on every event so cycle/publish timing is
+        # recoverable offline (scripts/bench_async.py)
+        record.setdefault("t", round(time.time(), 4))
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 

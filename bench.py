@@ -1,5 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark: rays/s/chip on the map+track hot loop (Replica room0 workload).
+"""Benchmark: rays/s/chip on the map+track hot loop.
+
+Two workloads (VERDICT r03 item 8):
+  - replica (headline): the reference's Replica room0 shape
+  - scannet: the reference's LARGER ScanNet shape — 5000 rays x 60 mapping
+    iters, window 10, tracking 50 iters x 1000 rays, scene0000-scale
+    bounds/grids and a 4/256 m prior over a 13 x 13.5 x 7.5 m volume
+    (ref: configs/ScanNet/scannet.yaml:20-23, scene0000.yaml:3). Validates
+    one-chip feasibility at the big configuration and records rays/s +
+    peak device memory. Default --workload both: the printed JSON line is
+    the replica headline with a "scannet" sub-object.
 
 Runs on the real TPU (does not override JAX_PLATFORMS). The workload matches
 the reference's Replica configuration exactly (SURVEY §6 / BASELINE.md):
@@ -31,19 +41,39 @@ on a desktop GPU => ~12k rays/s. We use 12_000 rays/s as the documented
 baseline estimate; the north-star target is >=5x (vs_baseline >= 5).
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
+WORKLOADS = {
+    # bounds/cam/batch shapes of the reference configs (SURVEY §6)
+    "replica": dict(
+        bound=[[-2.9, 8.94], [-3.2, 5.76], [-3.5, 3.54]],
+        cam=dict(H=680, W=1200, fx=600.0, fy=600.0, cx=599.5, cy=339.5),
+        F=5, map_iters={"low": 25, "high": 12, "color": 23}, pixels=1000,
+        track_iters=10, track_pixels=200,
+    ),
+    "scannet": dict(
+        bound=[[-2.0, 11.0], [-2.0, 11.5], [-2.0, 5.5]],
+        cam=dict(H=480, W=640, fx=577.590698, fy=578.729797,
+                 cx=318.905426, cy=242.683609),
+        F=10, map_iters={"low": 25, "high": 12, "color": 23}, pixels=5000,
+        track_iters=50, track_pixels=1000,
+    ),
+}
 
-def main():
+
+def measure_workload(name: str, reps: int = 5, after_warmup=None):
+    """Compile + time one SLAM cycle of the given workload shape.
+
+    ``after_warmup`` (first workload only) forces the truthful relay mode
+    and measures RTT/calibration between compile and the timed reps; the
+    mode is process-wide and sticky, so later workloads need nothing.
+    """
     import jax
     import jax.numpy as jnp
-
-    from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from attentive_dfprior_tpu.models.scene import SceneConfig, init_scene
     from attentive_dfprior_tpu.ops.adam import adam_init
@@ -52,14 +82,15 @@ def main():
     from attentive_dfprior_tpu.slam.tracker import track_frame
     from attentive_dfprior_tpu.camera import Camera
 
-    # ---- room0-scale scene (bounds from configs/Replica/room0.yaml) ----
-    bound = np.array([[-2.9, 8.94], [-3.2, 5.76], [-3.5, 3.54]])
+    w = WORKLOADS[name]
+    bound = np.array(w["bound"])
     scfg = SceneConfig(
         bound=bound, c_dim=32, low_grid_len=0.32, high_grid_len=0.16,
         color_grid_len=0.16, fix_high=False, fix_color=False,
     )
     key = jax.random.PRNGKey(0)
     params = init_scene(key, scfg)
+    mem0 = _mem_stats(jax)
 
     # full-resolution TSDF prior (4/256 m voxels), bf16-free f32 like the ref
     voxel = 4.0 / 256
@@ -73,12 +104,12 @@ def main():
     tsdf_bnds = jnp.asarray(bound, dtype=jnp.float32)
     jbound = jnp.asarray(bound, dtype=jnp.float32)
 
-    cam = Camera(H=680, W=1200, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
+    cam = Camera(**w["cam"])
     rcfg = RenderConfig(N_samples=32, N_surface=16)
 
-    # synthetic frame content at Replica resolution
+    # synthetic frame content at the workload's native resolution
     rng = np.random.default_rng(1)
-    F = 5  # mapping window (4 keyframes + current)
+    F = w["F"]  # mapping window (keyframes + current)
     frames_color = jnp.asarray(rng.uniform(0, 1, (F, cam.H, cam.W, 3)), jnp.float32)
     frames_depth = jnp.asarray(rng.uniform(0.5, 4.0, (F, cam.H, cam.W)), jnp.float32)
     c2w = np.eye(4, dtype=np.float32)
@@ -86,8 +117,8 @@ def main():
     frames_c2w = jnp.asarray(np.tile(c2w, (F, 1, 1)))
 
     lrs = StageLRs(decoders=5e-3, mlp=5e-3, low=5e-3, high=5e-3, color=5e-3)
-    MAP_ITERS = {"low": 25, "high": 12, "color": 23}
-    PIXELS = 1000
+    MAP_ITERS = w["map_iters"]
+    PIXELS = w["pixels"]
     pixs_per_image = PIXELS // F
 
     def run_mapping_cycle(params):
@@ -103,7 +134,7 @@ def main():
             )
         return params, losses
 
-    TRACK_ITERS, TRACK_PIXELS = 10, 200
+    TRACK_ITERS, TRACK_PIXELS = w["track_iters"], w["track_pixels"]
     cam_tensor = jnp.asarray([1.0, 0.0, 0.0, 0.0, 2.0, 1.0, 0.0], jnp.float32)
 
     def run_tracking(params, k):
@@ -125,53 +156,15 @@ def main():
     jax.block_until_ready(tl)
     compile_s = time.time() - t0
 
-    # ---- force TRUTHFUL (synchronous-completion) relay mode ----
-    # (see module docstring: without this, block_until_ready acknowledges
-    # without completing and every timing below would be fiction)
-    float(jnp.zeros(()))
-
-    # ---- relay RTT probe: per-dispatch overhead in truthful mode ----
-    @jax.jit
-    def _nop(x):
-        return x + 1.0
-
-    nop_x = jnp.zeros((8, 128), jnp.float32)
-    _nop(nop_x).block_until_ready()
-    rtt_times = []
-    for _ in range(10):
-        t0 = time.time()
-        _nop(nop_x).block_until_ready()
-        rtt_times.append(time.time() - t0)
-    rtt_s = float(np.median(rtt_times))
-
-    # ---- fixed-work calibration (VERDICT r2 weak #1) ----
-    # 50 chained 4096^2 bf16 matmuls = 6.9 TFLOP ~= 35 ms at peak + RTT.
-    # Detects cross-tenant contention on this shared chip: a healthy run
-    # reports ~55-70 ms; multiples of that mean THIS run was contended and
-    # the headline number below under-reports the framework.
-    calib_a = jnp.ones((4096, 4096), jnp.bfloat16)
-
-    @jax.jit
-    def _calib(a):
-        x = a
-        for _ in range(50):
-            x = jnp.dot(x, a, preferred_element_type=jnp.bfloat16)
-        return x
-
-    _calib(calib_a).block_until_ready()  # compile
-    calib_times = []
-    for _ in range(5):
-        t0 = time.time()
-        _calib(calib_a).block_until_ready()
-        calib_times.append(time.time() - t0)
+    if after_warmup is not None:
+        after_warmup()
 
     # ---- timed: one SLAM cycle = 1 mapped frame + 5 tracked frames ----
-    # >=5 independent repetitions of the WHOLE measurement; the JSON
+    # >=reps independent repetitions of the WHOLE measurement; the JSON
     # carries median + min/max so a contended run is visible instead of
     # silently recorded as the headline number.
-    REPS = 5
     rep_times = []
-    for r in range(REPS):
+    for r in range(reps):
         t0 = time.time()
         params, losses = run_mapping_cycle(params)
         for i in range(5):
@@ -179,11 +172,118 @@ def main():
         jax.block_until_ready((params, losses, tl))
         rep_times.append(time.time() - t0)
 
-    rays_per_cycle = PIXELS * sum(MAP_ITERS.values()) + 5 * TRACK_PIXELS * TRACK_ITERS
+    rays_per_cycle = (
+        PIXELS * sum(MAP_ITERS.values()) + 5 * TRACK_PIXELS * TRACK_ITERS
+    )
     cycle_med = float(np.median(rep_times))
+    mem1 = _mem_stats(jax)
+    rec = {
+        "workload": name,
+        "rays_per_cycle": rays_per_cycle,
+        "cycle_s_median": round(cycle_med, 4),
+        "rep_times_s": [round(t, 4) for t in rep_times],
+        "rays_per_s": round(rays_per_cycle / cycle_med, 1),
+        "rays_per_s_min": round(rays_per_cycle / max(rep_times), 1),
+        "rays_per_s_max": round(rays_per_cycle / min(rep_times), 1),
+        "compile_s": round(compile_s, 1),
+        "samples_per_ray": rcfg.N_samples + rcfg.N_surface,
+        "tsdf_voxels": int(np.prod(dims)),
+    }
+    if mem1 is not None:
+        rec["device_peak_mem_gb"] = round(mem1 / 2**30, 2)
+    elif mem0 is None:
+        rec["device_peak_mem_gb"] = None  # relay does not expose memory_stats
+
+    # analytic FLOPs/point for the MFU estimate (see main)
+    def _mat_flops(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return sum(2 * x.size for x in leaves if getattr(x, "ndim", 0) == 2)
+
+    rec["_flops_fwd_per_point"] = sum(
+        _mat_flops(params[k]) for k in ("low", "high", "color", "mlp")
+    )
+    return rec
+
+
+def _mem_stats(jax):
+    """Peak device memory in bytes, when the backend exposes it."""
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        return int(st.get("peak_bytes_in_use", st.get("bytes_in_use", 0)))
+    except Exception:
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--workload", default="both", choices=["replica", "scannet", "both"],
+        help="replica = reference room0 shape (headline); scannet = the "
+        "larger reference shape (5000 rays x window 10); both = headline "
+        "JSON with a scannet sub-object",
+    )
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    state = {}
+
+    def after_warmup():
+        # ---- force TRUTHFUL (synchronous-completion) relay mode ----
+        # (see module docstring: without this, block_until_ready
+        # acknowledges without completing and every timing would be fiction)
+        float(jnp.zeros(()))
+
+        # ---- relay RTT probe: per-dispatch overhead in truthful mode ----
+        @jax.jit
+        def _nop(x):
+            return x + 1.0
+
+        nop_x = jnp.zeros((8, 128), jnp.float32)
+        _nop(nop_x).block_until_ready()
+        rtt_times = []
+        for _ in range(10):
+            t0 = time.time()
+            _nop(nop_x).block_until_ready()
+            rtt_times.append(time.time() - t0)
+        state["rtt_s"] = float(np.median(rtt_times))
+
+        # ---- fixed-work calibration (VERDICT r2 weak #1) ----
+        # 50 chained 4096^2 bf16 matmuls = 6.9 TFLOP ~= 35 ms at peak + RTT.
+        # Detects cross-tenant contention on this shared chip: a healthy run
+        # reports ~55-70 ms; multiples of that mean THIS run was contended
+        # and the headline number under-reports the framework.
+        calib_a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+        @jax.jit
+        def _calib(a):
+            x = a
+            for _ in range(50):
+                x = jnp.dot(x, a, preferred_element_type=jnp.bfloat16)
+            return x
+
+        _calib(calib_a).block_until_ready()  # compile
+        calib_times = []
+        for _ in range(5):
+            t0 = time.time()
+            _calib(calib_a).block_until_ready()
+            calib_times.append(time.time() - t0)
+        state["calib_times"] = calib_times
+
+    primary = "replica" if args.workload in ("replica", "both") else "scannet"
+    rec = measure_workload(primary, reps=args.reps, after_warmup=after_warmup)
+
+    rtt_s = state["rtt_s"]
+    calib_times = state["calib_times"]
+    cycle_med = rec["cycle_s_median"]
+    rays_per_cycle = rec["rays_per_cycle"]
     rays_per_s = rays_per_cycle / cycle_med
-    rays_min = rays_per_cycle / max(rep_times)
-    rays_max = rays_per_cycle / min(rep_times)
 
     # relay-overhead-corrected device-time estimate: in truthful mode every
     # jit dispatch pays ~rtt_s of relay round-trip that a locally-attached
@@ -194,30 +294,12 @@ def main():
     rays_per_s_device_est = rays_per_cycle / cycle_device_est
 
     # ---- honest accounting extras (VERDICT r1 item 8) ----
-    # point evals: every ray evaluates N_samples + N_surface = 48 scene
-    # points through the decoder stack
-    samples_per_ray = rcfg.N_samples + rcfg.N_surface
+    samples_per_ray = rec["samples_per_ray"]
     point_evals_per_s = rays_per_s_device_est * samples_per_ray
-
-    # analytic FLOPs/point: 2*sum(W) per matmul forward; backward ~2x the
-    # forward => 6*sum(W) per optimized point (tracking points are
-    # forward + pose-only backward, but we use the same factor as an upper
-    # bound). The color stage runs low+high+color decoders + the attention
-    # MLP, so sum over ALL weight matrices.
-    def _mat_flops(tree):
-        leaves = jax.tree_util.tree_leaves(tree)
-        return sum(2 * x.size for x in leaves if getattr(x, "ndim", 0) == 2)
-
-    flops_fwd_per_point = sum(
-        _mat_flops(params[k]) for k in ("low", "high", "color", "mlp")
-    )
-    est_flops_per_s = 3.0 * flops_fwd_per_point * point_evals_per_s
-    # Per-chip peak from the ACTUAL device kind (VERDICT r2 weak #7: README
-    # said v5e while the MFU denominator assumed a v5p-class peak). Table is
-    # published bf16 matmul peak per chip; our compute runs f32 so the MFU
-    # estimate is conservative (f32 peak is lower on every generation).
+    est_flops_per_s = 3.0 * rec["_flops_fwd_per_point"] * point_evals_per_s
+    # Per-chip peak from the ACTUAL device kind (VERDICT r2 weak #7).
     dev_kind = jax.devices()[0].device_kind
-    PEAK_BF16 = {  # FLOP/s per chip
+    PEAK_BF16 = {  # FLOP/s per chip (published bf16 matmul peak)
         "TPU v4": 2.75e14,
         "TPU v5 lite": 1.97e14,
         "TPU v5e": 1.97e14,
@@ -228,57 +310,62 @@ def main():
     }
     peak = next(
         (v for k, v in PEAK_BF16.items() if k.lower() in dev_kind.lower()),
-        2.2e14,  # unknown chip: keep the historical assumption, flagged below
+        2.2e14,
     )
     est_mfu = est_flops_per_s / peak
 
-    BASELINE_RAYS_PER_S = 12_000.0  # documented ESTIMATE, see module docstring
-    spread = (rays_max - rays_min) / rays_per_s
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_s_per_chip_map_track",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
-                "vs_baseline_note": (
-                    "denominator is a documented estimate (12k rays/s, "
-                    "NICE-SLAM-lineage desktop GPU); the reference repo "
-                    "publishes no numbers (BASELINE.md)"
-                ),
-                "reps": REPS,
-                "median": round(rays_per_s, 1),
-                "min": round(rays_min, 1),
-                "max": round(rays_max, 1),
-                "spread_frac": round(spread, 3),
-                "cycle_s_median": round(cycle_med, 4),
-                "relay_rtt_ms": round(rtt_s * 1e3, 2),
-                "rays_per_s_device_est": round(rays_per_s_device_est, 1),
-                "device_est_note": (
-                    "cycle time minus ~20 dispatches x relay RTT: what a "
-                    "locally-attached TPU host would see"
-                ),
-                "calib_matmul_ms_median": round(
-                    float(np.median(calib_times)) * 1e3, 2
-                ),
-                "calib_matmul_ms_max": round(max(calib_times) * 1e3, 2),
-                "calib_healthy_envelope_ms": "55-70",
-                "device_kind": dev_kind,
-                "point_evals_per_s": round(point_evals_per_s, 1),
-                "est_model_flops_per_s": round(est_flops_per_s, 1),
-                "est_mfu_vs_chip_bf16_peak": round(est_mfu, 4),
-                "assumed_peak_flops": peak,
-            }
-        )
-    )
-    # secondary diagnostics on stderr-style extra line (not the JSON contract)
+    BASELINE_RAYS_PER_S = 12_000.0  # documented ESTIMATE, see docstring
+    spread = (rec["rays_per_s_max"] - rec["rays_per_s_min"]) / rays_per_s
+    payload = {
+        "metric": "rays_per_s_per_chip_map_track",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
+        "vs_baseline_note": (
+            "denominator is a documented estimate (12k rays/s, "
+            "NICE-SLAM-lineage desktop GPU); the reference repo "
+            "publishes no numbers (BASELINE.md)"
+        ),
+        "workload": primary,
+        "reps": args.reps,
+        "median": round(rays_per_s, 1),
+        "min": rec["rays_per_s_min"],
+        "max": rec["rays_per_s_max"],
+        "spread_frac": round(spread, 3),
+        "cycle_s_median": cycle_med,
+        "relay_rtt_ms": round(rtt_s * 1e3, 2),
+        "rays_per_s_device_est": round(rays_per_s_device_est, 1),
+        "device_est_note": (
+            "cycle time minus ~20 dispatches x relay RTT: what a "
+            "locally-attached TPU host would see"
+        ),
+        "calib_matmul_ms_median": round(float(np.median(calib_times)) * 1e3, 2),
+        "calib_matmul_ms_max": round(max(calib_times) * 1e3, 2),
+        "calib_healthy_envelope_ms": "55-70",
+        "device_kind": dev_kind,
+        "point_evals_per_s": round(point_evals_per_s, 1),
+        "est_model_flops_per_s": round(est_flops_per_s, 1),
+        "est_mfu_vs_chip_bf16_peak": round(est_mfu, 4),
+        "assumed_peak_flops": peak,
+    }
+    if "device_peak_mem_gb" in rec:
+        payload["device_peak_mem_gb"] = rec["device_peak_mem_gb"]
+
+    if args.workload == "both":
+        srec = measure_workload("scannet", reps=args.reps)
+        s_cycle_dev = max(1e-9, srec["cycle_s_median"] - DISPATCHES_PER_CYCLE * rtt_s)
+        srec["rays_per_s_device_est"] = round(srec["rays_per_cycle"] / s_cycle_dev, 1)
+        srec.pop("_flops_fwd_per_point", None)
+        payload["scannet"] = srec
+
+    payload.pop("_flops_fwd_per_point", None)
+    print(json.dumps(payload))
     import sys
 
     print(
-        f"# compile={compile_s:.1f}s cycle_med={cycle_med:.2f}s "
-        f"reps={[round(t, 3) for t in rep_times]} "
-        f"rays/cycle={rays_per_cycle} backend={jax.default_backend()} "
-        f"device={dev_kind}",
+        f"# compile={rec['compile_s']}s cycle_med={cycle_med:.2f}s "
+        f"reps={rec['rep_times_s']} rays/cycle={rays_per_cycle} "
+        f"backend={jax.default_backend()} device={dev_kind}",
         file=sys.stderr,
     )
 

@@ -235,24 +235,37 @@ def main():
             f"gather_fwd_{gk}", make_g, (params[gk], pn)
         )
 
-        def make_s(n):
-            def run(grid, pn, ct):
-                def body(acc, k):
-                    pk = pn + 1e-7 * k
-                    _, vjp = jax.vjp(lambda g: trilinear_sample(g, pk), grid)
-                    (gg,) = vjp(ct)
-                    return acc + gg, ()
+        def make_s(sampler):
+            def outer(n):
+                def run(grid, pn, ct):
+                    def body(acc, k):
+                        pk = pn + 1e-7 * k
+                        _, vjp = jax.vjp(lambda g: sampler(g, pk), grid)
+                        (gg,) = vjp(ct)
+                        return acc + gg, ()
 
-                out, _ = jax.lax.scan(
-                    body, jnp.zeros_like(grid), jnp.arange(n, dtype=jnp.float32)
-                )
-                return out
+                    out, _ = jax.lax.scan(
+                        body, jnp.zeros_like(grid),
+                        jnp.arange(n, dtype=jnp.float32),
+                    )
+                    return out
 
-            return run
+                return run
+
+            return outer
 
         ct = jnp.ones((N, C), jnp.float32)
+        from attentive_dfprior_tpu.ops.grid_sample import trilinear_sample_cs
+
+        # production path (cell-scatter + stencil custom VJP)
         results[f"scatter_bwd_{gk}"] = slope_time(
-            f"scatter_bwd_{gk}", make_s, (params[gk], pn, ct)
+            f"scatter_bwd_{gk}", make_s(trilinear_sample_cs),
+            (params[gk], pn, ct),
+        )
+        # XLA autodiff transpose, for the comparison row
+        results[f"scatter_bwd_xla_{gk}"] = slope_time(
+            f"scatter_bwd_xla_{gk}", make_s(trilinear_sample),
+            (params[gk], pn, ct),
         )
 
     # ---- TSDF volume sample (196M voxels) ----
@@ -299,8 +312,34 @@ def main():
 
         return run
 
+    # longer lens: at (8, 32) this op's marginal cost was below relay
+    # timing noise and produced a nonsense negative row (VERDICT r03 weak #2)
     results["mlp_low_fwd"] = slope_time(
-        "mlp_low_fwd", make_mlp, (params["low"], pts, c_feat)
+        "mlp_low_fwd", make_mlp, (params["low"], pts, c_feat), lens=(16, 128)
+    )
+
+    # ---- fwd+bwd split at the production (rows + cellstencil) config ----
+    def make_fwdbwd_rows(n):
+        def run(params, ro, rd, gd, gc, tsdf):
+            def body(acc, k):
+                _, grads = jax.value_and_grad(mapping_loss_fn)(
+                    params, ro + 1e-6 * k, rd, gd, gc, inside, tsdf,
+                    tsdf_bnds, jbound, "color", rcfg, 0.2, jnp.float32(0.0),
+                )
+                return jax.tree_util.tree_map(jnp.add, acc, grads), ()
+
+            z = jax.tree_util.tree_map(jnp.zeros_like, params)
+            out, _ = jax.lax.scan(body, z, jnp.arange(n, dtype=jnp.float32))
+            return out
+
+        return run
+
+    results["fwd_loss_color_rows"] = slope_time(
+        "fwd_loss_color_rows", make_fwd, (params, ro, rd, gd, gc, tsdf_rows)
+    )
+    results["fwd_bwd_color_rows"] = slope_time(
+        "fwd_bwd_color_rows", make_fwdbwd_rows,
+        (params, ro, rd, gd, gc, tsdf_rows),
     )
 
     print()
