@@ -28,6 +28,22 @@ from attentive_dfprior_tpu.ops.rays import get_samples, ray_bound_intersection
 from attentive_dfprior_tpu.render.renderer import RenderConfig, render_rays
 
 
+def masked_lower_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of ``values[mask]`` with torch.median's convention EXACTLY.
+
+    For an even count n torch returns the LOWER middle order statistic
+    (index (n-1)//2), not numpy's average of the two middle values — the
+    tracker's 10x-median dynamic-pixel cut (ref: src/Tracker.py:118-119)
+    can differ between conventions when a ray's error falls between them.
+    Shape-static for jit: sort with +inf sentinels, index (count-1)//2.
+    Returns +inf for an empty mask (the cut then excludes nothing extra).
+    """
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    sorted_vals = jnp.sort(jnp.where(mask, values, jnp.inf))
+    k = jnp.maximum(cnt - 1, 0) // 2
+    return jnp.where(cnt > 0, sorted_vals[k], jnp.inf)
+
+
 def tracking_loss_fn(
     camera_tensor: jnp.ndarray,
     params: Any,
@@ -89,13 +105,8 @@ def tracking_loss_fn(
     var = jax.lax.stop_gradient(var)
     err = jnp.abs(gd - depth) / jnp.sqrt(var + 1e-10)
     if handle_dynamic:
-        # median over the valid set; use where-masked median approximation:
-        # the reference takes the median of ALL rendered rays' err
-        # (ref: Tracker.py:118-119 median over tmp of the filtered batch).
-        med = jax.lax.stop_gradient(
-            jnp.nanmedian(jnp.where(inside, err, jnp.nan))
-        )
-        med = jnp.nan_to_num(med, nan=jnp.inf)
+        # median of ALL rendered (in-bound) rays' err (ref: Tracker.py:118-119)
+        med = jax.lax.stop_gradient(masked_lower_median(err, inside))
         mask = (err < 10 * med) & (gd > 0) & inside
     else:
         mask = (gd > 0) & inside

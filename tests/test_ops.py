@@ -198,3 +198,37 @@ class TestAdam:
         new_p, new_s = adam_update(params, g, state, {"p": 0.1})
         np.testing.assert_allclose(np.asarray(new_p["p"]), np.ones(4))
         np.testing.assert_allclose(np.asarray(new_s.m["p"]), np.zeros(4))
+
+
+class TestMaskedLowerMedian:
+    """torch.median convention parity for the tracker's dynamic-pixel cut
+    (ref: src/Tracker.py:118-119): even counts take the LOWER middle order
+    statistic, where numpy would average the middle pair."""
+
+    def test_matches_torch_even_and_odd(self):
+        import torch
+
+        from attentive_dfprior_tpu.slam.tracker import masked_lower_median
+
+        rng = np.random.default_rng(7)
+        for n_valid in (1, 2, 5, 8, 47, 48):
+            vals = rng.normal(size=64).astype(np.float32)
+            mask = np.zeros(64, bool)
+            mask[rng.choice(64, n_valid, replace=False)] = True
+            ours = float(masked_lower_median(jnp.asarray(vals), jnp.asarray(mask)))
+            ref = float(torch.from_numpy(vals[mask]).median())
+            assert ours == ref, (n_valid, ours, ref)
+
+    def test_even_count_differs_from_numpy_mean_convention(self):
+        from attentive_dfprior_tpu.slam.tracker import masked_lower_median
+
+        vals = jnp.asarray(np.array([1.0, 3.0], np.float32))
+        mask = jnp.asarray(np.array([True, True]))
+        assert float(masked_lower_median(vals, mask)) == 1.0  # not 2.0
+
+    def test_empty_mask_is_inf(self):
+        from attentive_dfprior_tpu.slam.tracker import masked_lower_median
+
+        vals = jnp.asarray(np.ones(4, np.float32))
+        mask = jnp.asarray(np.zeros(4, bool))
+        assert np.isinf(float(masked_lower_median(vals, mask)))
