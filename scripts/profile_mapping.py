@@ -268,6 +268,96 @@ def main():
             (params[gk], pn, ct),
         )
 
+    # ---- cell-stencil VJP internals for the big (high) grid ----
+    # decides the next kernel: is the remaining backward cost the scatter,
+    # the corner-major transpose, or the stencil adds?
+    from attentive_dfprior_tpu.ops.grid_sample import _cell_stencil_grid_grad
+
+    gshape = params["grid_high"].shape
+    nxg, nyg, nzg, Cg = gshape
+    nvox = nxg * nyg * nzg
+    ctg = jnp.ones((N, Cg), jnp.float32)
+
+    def make_cellgrad(n):
+        def run(pn, ctg):
+            def body(acc, k):
+                return acc + _cell_stencil_grid_grad(gshape, pn + 1e-7 * k, ctg), ()
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros(gshape), jnp.arange(n, dtype=jnp.float32)
+            )
+            return out
+
+        return run
+
+    results["cellgrad_total_high"] = slope_time(
+        "cellgrad_total_high", make_cellgrad, (pn, ctg)
+    )
+
+    def make_cellscatter(n):
+        def run(pn, ctg):
+            def body(acc, k):
+                pk = pn + 1e-7 * k
+                dims3 = jnp.array(gshape[:3], dtype=pk.dtype)
+                idxq = jnp.clip((pk + 1.0) * 0.5 * (dims3 - 1.0), 0.0, dims3 - 1.0)
+                i0 = jnp.minimum(
+                    jnp.floor(idxq).astype(jnp.int32),
+                    jnp.array([nxg - 1, nyg - 1, nzg - 1], jnp.int32),
+                )
+                f = idxq - i0
+                fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+                ws = []
+                for wx in (1 - fx, fx):
+                    for wy in (1 - fy, fy):
+                        for wz in (1 - fz, fz):
+                            ws.append(wx * wy * wz)
+                w = jnp.stack(ws, axis=1)
+                upd = (w[:, :, None] * ctg[:, None, :]).reshape(-1, 8 * Cg)
+                cellid = (i0[:, 0] * nyg + i0[:, 1]) * nzg + i0[:, 2]
+                return acc.at[cellid].add(upd), ()
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros((nvox, 8 * Cg)), jnp.arange(n, dtype=jnp.float32)
+            )
+            return out
+
+        return run
+
+    results["cellgrad_scatter_high"] = slope_time(
+        "cellgrad_scatter_high", make_cellscatter, (pn, ctg)
+    )
+
+    def make_stencil(n):
+        def run(cells):
+            def body(acc, k):
+                corner_major = jnp.transpose(
+                    (cells + k).reshape(nvox, 8, Cg), (1, 0, 2)
+                )
+                out = jnp.zeros(gshape)
+                ci = 0
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        for dz in (0, 1):
+                            y = corner_major[ci].reshape(nxg, nyg, nzg, Cg)
+                            out = out + jnp.pad(
+                                y[: nxg - dx, : nyg - dy, : nzg - dz],
+                                ((dx, 0), (dy, 0), (dz, 0), (0, 0)),
+                            )
+                            ci += 1
+                return acc + out, ()
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros(gshape), jnp.arange(n, dtype=jnp.float32)
+            )
+            return out
+
+        return run
+
+    cells0 = jnp.zeros((nvox, 8 * Cg))
+    results["cellgrad_stencil_high"] = slope_time(
+        "cellgrad_stencil_high", make_stencil, (cells0,)
+    )
+
     # ---- TSDF volume sample (196M voxels) ----
     def make_tsdf(n):
         def run(tsdf, pts):
