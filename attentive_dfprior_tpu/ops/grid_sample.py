@@ -141,6 +141,7 @@ def sample_feature_grid(
     fn = {
         "sorted": trilinear_sample_opt,
         "xla": trilinear_sample,
+        "pallas": trilinear_sample_psc,
     }.get(impl, trilinear_sample_cs)
     return fn(grid, normalize_3d_coordinate(p, bound))
 
@@ -233,19 +234,12 @@ def _segmented_unique_scatter(
 # wide-row scatter is 1.36 ms of that (scripts/bench_scatter.py b5).
 
 
-def _cell_stencil_grid_grad(
-    grid_shape, p_norm: jnp.ndarray, ct: jnp.ndarray
-) -> jnp.ndarray:
-    """Gradient of trilinear_sample w.r.t. the grid via cell-scatter +
-    dense stencil.
-
-    Args:
-        grid_shape: (NX, NY, NZ, C) static shape tuple.
-        p_norm: (N, 3) normalized query points.
-        ct: (N, C) cotangent of the sampled features.
+def _cell_scatter(grid_shape, p_norm: jnp.ndarray, ct: jnp.ndarray) -> jnp.ndarray:
+    """Scatter each point's 8 weighted corner updates into one wide
+    (8C)-column row of a cell buffer (cell = floor corner i0).
 
     Returns:
-        (NX, NY, NZ, C) grid gradient.
+        (nvox, 8C) cell buffer.
     """
     nx, ny, nz, C = grid_shape
     n_pts = p_norm.shape[0]
@@ -267,7 +261,26 @@ def _cell_stencil_grid_grad(
     w = jnp.stack(ws, axis=1)  # (N, 8)
     upd = (w[:, :, None] * ct[:, None, :]).reshape(n_pts, 8 * C)
     cell = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
-    cells = jnp.zeros((nvox, 8 * C), upd.dtype).at[cell].add(upd)
+    return jnp.zeros((nvox, 8 * C), upd.dtype).at[cell].add(upd)
+
+
+def _cell_stencil_grid_grad(
+    grid_shape, p_norm: jnp.ndarray, ct: jnp.ndarray
+) -> jnp.ndarray:
+    """Gradient of trilinear_sample w.r.t. the grid via cell-scatter +
+    dense stencil.
+
+    Args:
+        grid_shape: (NX, NY, NZ, C) static shape tuple.
+        p_norm: (N, 3) normalized query points.
+        ct: (N, C) cotangent of the sampled features.
+
+    Returns:
+        (NX, NY, NZ, C) grid gradient.
+    """
+    nx, ny, nz, C = grid_shape
+    nvox = nx * ny * nz
+    cells = _cell_scatter(grid_shape, p_norm, ct)
     corner_major = jnp.transpose(
         cells.reshape(nvox, 8, C), (1, 0, 2)
     )  # one relayout; per-corner slices below are then contiguous
@@ -437,3 +450,44 @@ def _tso_bwd(res, g):
 
 
 trilinear_sample_opt.defvjp(_tso_fwd, _tso_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Cell-scatter + PALLAS stencil grid gradient (transpose-free)
+# ---------------------------------------------------------------------------
+#
+# Same cell buffer as trilinear_sample_cs, but the corner-sum stencil runs
+# as a Pallas kernel that reads the (nvox, 8C) buffer once per x-plane and
+# writes the gradient plane directly — no corner-major transpose, no 8
+# slab materializations (ops/pallas/stencil_kernel.py). Select with
+# DFPRIOR_TRILINEAR_VJP=pallas.
+
+
+@jax.custom_vjp
+def trilinear_sample_psc(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
+    """trilinear_sample with the cell-scatter + Pallas-stencil gradient."""
+    return trilinear_sample(grid, p_norm)
+
+
+def _psc_fwd(grid, p_norm):
+    return trilinear_sample(grid, p_norm), (grid, p_norm)
+
+
+def _psc_bwd(res, g):
+    from attentive_dfprior_tpu.ops.pallas.stencil_kernel import (
+        cell_stencil_pallas,
+    )
+
+    grid, p_norm = res
+    _, pullback = jax.vjp(
+        lambda p: trilinear_sample(jax.lax.stop_gradient(grid), p), p_norm
+    )
+    (p_grad,) = pullback(g)
+    cells = _cell_scatter(grid.shape, p_norm, g)
+    grid_grad = cell_stencil_pallas(
+        cells, grid.shape, interpret=jax.default_backend() == "cpu"
+    )
+    return grid_grad, p_grad
+
+
+trilinear_sample_psc.defvjp(_psc_fwd, _psc_bwd)

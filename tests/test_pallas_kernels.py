@@ -75,3 +75,55 @@ def test_fused_mlp_block_sizes():
     a = fused_mlp_forward(packed, p, c, block=128, interpret=True)
     b = fused_mlp_forward(packed, p, c, block=64, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+class TestCellStencilPallas:
+    """Transpose-free Pallas stencil VJP (ops/pallas/stencil_kernel.py):
+    grid + point gradients must match the autodiff transpose of
+    trilinear_sample exactly (the stencil is reassociation-free adds)."""
+
+    def test_vjp_matches_autodiff(self):
+        from attentive_dfprior_tpu.ops.grid_sample import (
+            trilinear_sample,
+            trilinear_sample_psc,
+        )
+
+        rng = np.random.default_rng(11)
+        shape = (7, 5, 6, 32)
+        grid = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        # include border-clamped points (|p| > 1)
+        pn = jnp.asarray(rng.uniform(-1.15, 1.15, (257, 3)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(257, 32)).astype(np.float32))
+
+        out_ref, vjp_ref = jax.vjp(trilinear_sample, grid, pn)
+        g_ref, p_ref = vjp_ref(ct)
+        out_psc, vjp_psc = jax.vjp(trilinear_sample_psc, grid, pn)
+        g_psc, p_psc = vjp_psc(ct)
+
+        np.testing.assert_allclose(np.asarray(out_psc), np.asarray(out_ref))
+        np.testing.assert_allclose(
+            np.asarray(g_psc), np.asarray(g_ref), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_psc), np.asarray(p_ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_stencil_matches_cellstencil_production_vjp(self):
+        from attentive_dfprior_tpu.ops.grid_sample import (
+            trilinear_sample_cs,
+            trilinear_sample_psc,
+        )
+
+        rng = np.random.default_rng(12)
+        shape = (4, 6, 5, 32)
+        grid = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        pn = jnp.asarray(rng.uniform(-1, 1, (129, 3)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(129, 32)).astype(np.float32))
+
+        _, vjp_cs = jax.vjp(trilinear_sample_cs, grid, pn)
+        _, vjp_psc = jax.vjp(trilinear_sample_psc, grid, pn)
+        g_cs, _ = vjp_cs(ct)
+        g_psc, _ = vjp_psc(ct)
+        np.testing.assert_allclose(
+            np.asarray(g_psc), np.asarray(g_cs), rtol=1e-5, atol=1e-6
+        )
