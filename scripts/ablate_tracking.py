@@ -66,6 +66,21 @@ VARIANTS = {
         "tracking.lr_final_factor": 0.1,
     },
     "lr1e3_decay01": {"tracking.lr": 0.001, "tracking.lr_final_factor": 0.1},
+    # mapping-cadence axis: the tracker can only be as good as the map it
+    # renders against; every_frame 5 leaves a 5-frame-old map (second wave)
+    "evf2_decay01": {
+        "mapping.every_frame": 2,
+        "tracking.lr_final_factor": 0.1,
+    },
+    "evf2_kf2_decay01": {
+        "mapping.every_frame": 2,
+        "mapping.keyframe_every": 2,
+        "tracking.lr_final_factor": 0.1,
+    },
+    "evf1_decay01": {
+        "mapping.every_frame": 1,
+        "tracking.lr_final_factor": 0.1,
+    },
 }
 
 
@@ -125,11 +140,24 @@ def main():
             * 100
         )
         aligned = ate_rmse(est, gt, n)
+        per_frame_cm = (
+            np.linalg.norm(est[:n, :3, 3] - gt[:n, :3, 3], axis=1) * 100
+        )
         results[name] = {
             "ate_cm_aligned": round(aligned, 3),
             "ate_cm_unaligned": round(unaligned, 3),
             "wall_s": round(dt, 1),
             "n_frames": n,
+            "err_cm_q25_q50_q75_max": [
+                round(float(v), 2)
+                for v in (
+                    np.percentile(per_frame_cm, 25),
+                    np.percentile(per_frame_cm, 50),
+                    np.percentile(per_frame_cm, 75),
+                    per_frame_cm.max(),
+                )
+            ],
+            "err_cm_last10_mean": round(float(per_frame_cm[-10:].mean()), 2),
             "overrides": VARIANTS[name],
         }
         print(json.dumps({name: results[name]}), flush=True)
