@@ -80,10 +80,18 @@ def adam_update(
         (new_params, new_state)
     """
     # a leaf whose gradient is exactly zero everywhere was not in the loss
-    # graph this iteration (torch: p.grad is None -> state untouched)
-    new_step = jax.tree_util.tree_map(
-        lambda s, g: s + jnp.any(g != 0).astype(jnp.int32), state.step, grads
-    )
+    # graph this iteration (torch: p.grad is None -> state untouched).
+    # DFPRIOR_ADAM_LAZY=0 restores the pre-round-4 global step counter
+    # (diagnostic only; the lazy default is the torch-parity behavior,
+    # tests/test_reference_parity_loops.py)
+    import os
+
+    if os.environ.get("DFPRIOR_ADAM_LAZY", "1") == "0":
+        new_step = jax.tree_util.tree_map(lambda s, g: s + 1, state.step, grads)
+    else:
+        new_step = jax.tree_util.tree_map(
+            lambda s, g: s + jnp.any(g != 0).astype(jnp.int32), state.step, grads
+        )
     new_m = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.m, grads)
     new_v = jax.tree_util.tree_map(
         lambda v, g: b2 * v + (1 - b2) * (g * g), state.v, grads

@@ -81,6 +81,26 @@ VARIANTS = {
         "mapping.every_frame": 1,
         "tracking.lr_final_factor": 0.1,
     },
+    # wave-2 (informed by wave 1: decay HURT — convergence-limited; nodyn
+    # WON — the 10x-median cut discards informative pixels on clean data):
+    # combine nodyn with more convergence capacity / fresher maps
+    "nodyn_lr3e3": {"tracking.handle_dynamic": False, "tracking.lr": 0.003},
+    "nodyn_iters100": {"tracking.handle_dynamic": False, "tracking.iters": 100},
+    "nodyn_px2000": {"tracking.handle_dynamic": False, "tracking.pixels": 2000},
+    "nodyn_evf2": {
+        "tracking.handle_dynamic": False,
+        "mapping.every_frame": 2,
+    },
+    "nodyn_evf2_kf2": {
+        "tracking.handle_dynamic": False,
+        "mapping.every_frame": 2,
+        "mapping.keyframe_every": 2,
+    },
+    "nodyn_lr3e3_iters100": {
+        "tracking.handle_dynamic": False,
+        "tracking.lr": 0.003,
+        "tracking.iters": 100,
+    },
 }
 
 
