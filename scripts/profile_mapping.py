@@ -37,6 +37,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--only", default=None,
+                    help="substring filter: only run rows whose name "
+                    "contains this (e.g. full_iter)")
     args_cli = ap.parse_args()
 
     import jax
@@ -114,6 +117,8 @@ def main():
         make_scan(n) must return a function of explicit array args (no big
         closures); call_args are passed at every invocation.
         """
+        if args_cli.only and args_cli.only not in name:
+            return None
         outs = {}
         for n in lens:
             fn = jax.jit(make_scan(n))
@@ -432,14 +437,15 @@ def main():
         (params, ro, rd, gd, gc, tsdf_rows),
     )
 
+    results = {k: v for k, v in results.items() if v is not None}
     print()
     print(f"{'piece':<28} {'ms/iter':>10}")
     for k, v in results.items():
         print(f"{k:<28} {v * 1e3:>10.3f}")
     total_scatter = sum(
-        v for k, v in results.items() if k.startswith("scatter_bwd")
+        v for k, v in results.items() if k.startswith("scatter_bwd_grid")
     )
-    print(f"{'sum(scatter_bwd_*)':<28} {total_scatter * 1e3:>10.3f}")
+    print(f"{'sum(scatter_bwd_grid_*)':<28} {total_scatter * 1e3:>10.3f}")
     if args_cli.json:
         with open(args_cli.json, "w") as f:
             json.dump({k: v * 1e3 for k, v in results.items()}, f, indent=1)
