@@ -26,6 +26,10 @@ import numpy as np
 from attentive_dfprior_tpu.camera import Camera
 from attentive_dfprior_tpu.models.scene import SceneConfig
 from attentive_dfprior_tpu.ops.adam import adam_init, adam_update
+from attentive_dfprior_tpu.ops.pose import (
+    pose_matrix_from_tensor,
+    pose_tensor_from_matrix,
+)
 from attentive_dfprior_tpu.ops.rays import get_samples, ray_bound_intersection
 from attentive_dfprior_tpu.render.renderer import RenderConfig, render_rays
 
@@ -114,6 +118,7 @@ def mapping_loss_fn(
         "use_frustum_masks",
         "ray_sharding",
         "accum",
+        "ba",
     ),
     donate_argnums=(0, 1),
 )
@@ -140,8 +145,23 @@ def mapping_stage(
     ray_sharding=None,
     active: Optional[jnp.ndarray] = None,
     accum: int = 1,
+    ba: bool = False,
+    pose_mask: Optional[jnp.ndarray] = None,  # (F,) float {0,1}; 0 = frozen
+    ba_cam_lr=0.0,
 ):
     """Run one optimization stage (n_iters iterations) as a scanned loop.
+
+    With ``ba=True`` (keyframe bundle adjustment — a framework extension;
+    the reference's optimize_map keeps every window pose FIXED,
+    ref: src/Mapper.py:262-484, so the map bakes in tracker drift and the
+    tracker then aligns to the drifted map — measured as episodic
+    10-40 cm pose excursions with NOMINAL rendering loss on the synthetic
+    tracking demo, ABLATE_TRACKING_r04.json): ``params`` is the combined
+    tree {"scene": scene params, "pose": (F, 7) window pose tensors}; rays
+    are generated from the CURRENT pose tensors inside the loss, so the
+    window poses receive gradients (exactly the tracker's pose-gradient
+    chain) and are optimized jointly with the scene under per-leaf-lr
+    Adam. ``pose_mask`` freezes anchor frames (gauge).
 
     Returns (params, adam_state, per-iter losses).
 
@@ -171,7 +191,13 @@ def mapping_stage(
         fix_high=fix_high,
         fix_color=fix_color,
     )
-    lr_tree = build_lr_tree(params, lrs, scfg)
+    if ba:
+        lr_tree = {
+            "scene": build_lr_tree(params["scene"], lrs, scfg),
+            "pose": ba_cam_lr,
+        }
+    else:
+        lr_tree = build_lr_tree(params, lrs, scfg)
     F = frames_color.shape[0]
     H, W = cam.H, cam.W
 
@@ -188,6 +214,49 @@ def mapping_stage(
     def _body(carry, key, w_reg):
         params, astate = carry
         fkeys = jax.random.split(key, F)
+
+        if ba:
+            def scaled_loss(opt):
+                c2ws = jax.vmap(pose_matrix_from_tensor)(opt["pose"])  # (F,3,4)
+
+                def sample_frame(k, color_f, depth_f, c2w_f):
+                    return get_samples(
+                        k, 0, H, 0, W, pixs_per_image * accum,
+                        cam.fx, cam.fy, cam.cx, cam.cy, c2w_f, depth_f,
+                        color_f,
+                    )
+
+                ro, rd, gd, gc = jax.vmap(sample_frame)(
+                    fkeys, frames_color, frames_depth, c2ws
+                )
+                ro = ro.reshape(-1, 3)
+                rd = rd.reshape(-1, 3)
+                gd = gd.reshape(-1)
+                gc = gc.reshape(-1, 3)
+                if ray_sharding is not None:
+                    from attentive_dfprior_tpu.parallel.sharding import (
+                        constrain_rays,
+                    )
+
+                    ro, rd, gd, gc = constrain_rays(ray_sharding, ro, rd, gd, gc)
+                t = ray_bound_intersection(
+                    jax.lax.stop_gradient(ro), jax.lax.stop_gradient(rd), bound
+                )
+                inside = t >= gd
+                loss = mapping_loss_fn(
+                    opt["scene"], ro, rd, gd, gc, inside, tsdf_volume,
+                    tsdf_bnds, bound, stage, rcfg, w_color_loss, w_reg,
+                )
+                return loss / accum if accum != 1 else loss
+
+            loss, grads = jax.value_and_grad(scaled_loss)(params)
+            grads["pose"] = grads["pose"] * pose_mask[:, None]
+            if use_frustum_masks and frustum_masks is not None:
+                for gk in GRID_KEYS:
+                    grads["scene"][gk] = grads["scene"][gk] * frustum_masks[gk]
+            params, astate = adam_update(params, grads, astate, lr_tree)
+            return (params, astate), loss
+
         # ``accum`` > 1 folds k gradient-accumulation microbatches into ONE
         # k-fold-larger sampled batch: the mapping loss is a pure SUM over
         # rays, so summing k microbatch gradients and one backward over the
@@ -377,6 +446,10 @@ class Mapper:
         self.accum = int(cfg.get("parallel", {}).get("accum", 1))
         if self.accum < 1:
             raise ValueError(f"parallel.accum must be >= 1, got {self.accum}")
+        # keyframe bundle adjustment (framework extension; the reference
+        # never optimizes window poses). Default off = reference semantics.
+        self.ba = bool(m.get("BA", False))
+        self.ba_cam_lr = float(m.get("ba_cam_lr", 1e-3))
         self.keyframe_selection_method = m.get("keyframe_selection_method", "overlap")
         self.stage_lrs = {
             s: StageLRs(
@@ -434,7 +507,8 @@ class Mapper:
         color_refine: bool = False,
         visualizer=None,
         cur_color_np: Optional[np.ndarray] = None,
-    ) -> Tuple[Any, jax.Array, Dict[str, float]]:
+        ba_anchor: int = 0,
+    ) -> Tuple[Any, jax.Array, Dict[str, float], Optional[np.ndarray]]:
         """One mapped frame: fresh Adam state + staged scans
         (ref: src/Mapper.py:262-484).
 
@@ -454,7 +528,8 @@ class Mapper:
                 rendered from the mid-optimization params.
 
         Returns:
-            (updated params, new PRNG key, {stage: last-iter loss}).
+            (updated params, new PRNG key, {stage: last-iter loss},
+             refined window c2w (F, 4, 4) when mapping.BA is on, else None).
         """
         F = frames_color.shape[0]
         pixs_per_image = self.mapping_pixels // F
@@ -488,6 +563,24 @@ class Mapper:
             and cur_color_np is not None
             and idx % visualizer.freq == 0
         )
+
+        ba_on = self.ba and not color_refine and F >= 3
+        if ba_on:
+            pose_t0 = jnp.asarray(
+                np.stack(
+                    [
+                        pose_tensor_from_matrix(np.asarray(frames_c2w[i]))
+                        for i in range(F)
+                    ]
+                ),
+                jnp.float32,
+            )
+            pose_mask_np = np.ones((F,), np.float32)
+            pose_mask_np[int(ba_anchor)] = 0.0  # gauge anchor
+            pose_mask = jnp.asarray(pose_mask_np)
+            params = {"scene": params, "pose": pose_t0}
+        else:
+            pose_mask = None
 
         adam_state = adam_init(params)
         losses: Dict[str, float] = {}
@@ -528,7 +621,8 @@ class Mapper:
                 if vis_this_frame and (s + a) % max(1, int(visualizer.inside_freq)) == 0:
                     visualizer.vis(
                         idx, s + a, cur_depth_np, cur_color_np, cur_c2w_np,
-                        params, self.tsdf_volume,
+                        params["scene"] if ba_on else params,
+                        self.tsdf_volume,
                     )
                 L = b - a
                 if pad_len is not None:
@@ -572,7 +666,19 @@ class Mapper:
                     self.ray_sharding,
                     chunk_active,
                     self.accum,
+                    ba_on,
+                    pose_mask,
+                    jnp.float32(self.ba_cam_lr),
                 )
                 last_loss = stage_losses[L - 1]
             losses[stage] = float(last_loss)
-        return params, key, losses
+        if ba_on:
+            refined_t = params["pose"]
+            params = params["scene"]
+            mats34 = np.asarray(
+                jax.vmap(pose_matrix_from_tensor)(refined_t)
+            )  # (F, 3, 4)
+            refined = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+            refined[:, :3, :] = mats34
+            return params, key, losses, refined
+        return params, key, losses, None

@@ -373,7 +373,7 @@ class SLAMSystem:
             f_color = jnp.asarray(cur_color)[None]
             f_depth = jnp.asarray(cur_depth)[None]
             f_c2w = cur_c2w[None]
-        return f_color, f_depth, f_c2w
+        return f_color, f_depth, f_c2w, slots
 
     def _map_frame(self, idx, color, depth, c2w, gt_c2w, first: bool):
         t0 = time.time()
@@ -399,7 +399,7 @@ class SLAMSystem:
             outer = 1
 
         for _ in range(outer):
-            f_color, f_depth, f_c2w = self._select_window(
+            f_color, f_depth, f_c2w, slots = self._select_window(
                 color, depth, c2w, window_size=window_size
             )
             if self.save_selected_keyframes_info:
@@ -413,7 +413,14 @@ class SLAMSystem:
                 idx == 0 and self.cfg["mapping"].get("no_vis_on_first_frame", True)
             )
             key_in = self._map_key if self._map_key is not None else self.key
-            self.params, key_out, losses = self.mapper.optimize_map(
+            # BA gauge anchor: the window keyframe with the SMALLEST dataset
+            # frame index (the best-established pose); never the current frame
+            if len(slots) > 0:
+                kf_ids = [self.keyframes.frame_idx[int(sl)] for sl in slots]
+                ba_anchor = int(np.argmin(kf_ids))
+            else:
+                ba_anchor = 0
+            self.params, key_out, losses, refined_c2w = self.mapper.optimize_map(
                 self.params,
                 num_iters,
                 lr_factor,
@@ -427,7 +434,17 @@ class SLAMSystem:
                 color_refine=color_refine,
                 visualizer=None if no_vis else self.visualizer,
                 cur_color_np=np.asarray(color),
+                ba_anchor=ba_anchor,
             )
+            if refined_c2w is not None:
+                # write the BA-refined poses back: window keyframes into the
+                # store, the current frame into the trajectory (the tracker's
+                # next const-speed init then starts from the refined pose)
+                with self._kf_lock:
+                    for wi, sl in enumerate(slots):
+                        self.keyframes.update_pose(int(sl), refined_c2w[wi])
+                c2w = refined_c2w[-1]
+                self.estimate_c2w_list[idx] = refined_c2w[-1]
             if self._map_key is not None:
                 self._map_key = key_out
             else:

@@ -129,6 +129,13 @@ VARIANTS = {
         "cam.cx": 159.5, "cam.cy": 119.5,
         "tracking.lr": 0.001, "tracking.lr_final_factor": 0.1,
     },
+    "ba": {"mapping.BA": True},
+    "ba_lr1e3_decay01": {
+        "mapping.BA": True,
+        "tracking.lr": 0.001,
+        "tracking.lr_final_factor": 0.1,
+    },
+    "ba_nodyn": {"mapping.BA": True, "tracking.handle_dynamic": False},
     "hires_iters20_decay01": {
         "cam.H": 240, "cam.W": 320, "cam.fx": 240.0, "cam.fy": 240.0,
         "cam.cx": 159.5, "cam.cy": 119.5,

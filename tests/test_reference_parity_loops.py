@@ -359,7 +359,7 @@ def test_optimize_map_loop_matches_reference(ref_stack, monkeypatch, frustum):
     # ---- our side ----
     key = jax.random.PRNGKey(42)
     schedule = ours._stage_schedule(N_JOINT_ITERS)
-    new_params, _, _ = ours.optimize_map(
+    new_params, _, _, _ = ours.optimize_map(
         params, N_JOINT_ITERS, 1.0, 1,
         jnp.asarray(colors), jnp.asarray(depths), poses,
         key,
