@@ -141,6 +141,13 @@ VARIANTS = {
         "tracking.iters": 20,
         "tracking.lr_final_factor": 0.1,
     },
+    "ba_evf2_hires_iters20_decay01": {
+        "mapping.BA": True,
+        "mapping.every_frame": 2,
+        "cam.H": 240, "cam.W": 320, "cam.fx": 240.0, "cam.fy": 240.0,
+        "cam.cx": 159.5, "cam.cy": 119.5,
+        "tracking.iters": 20, "tracking.lr_final_factor": 0.1,
+    },
     "ba_hires_iters20_decay01": {
         "mapping.BA": True,
         "cam.H": 240, "cam.W": 320, "cam.fx": 240.0, "cam.fy": 240.0,
