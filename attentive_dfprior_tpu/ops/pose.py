@@ -119,3 +119,60 @@ def homogenize(RT: jnp.ndarray) -> jnp.ndarray:
     """3x4 -> 4x4 by appending [0,0,0,1]."""
     bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=RT.dtype)
     return jnp.concatenate([RT, bottom], axis=0)
+
+
+def clamp_pose_update(
+    orig: np.ndarray,
+    new: np.ndarray,
+    max_dt: float,
+    max_rot_rad: float,
+) -> np.ndarray:
+    """Trust-region clamp for a pose update (host-side numpy).
+
+    Bundle adjustment's pose-map feedback can run away: one bad tracker
+    frame drags keyframe poses, which warps the map, which misleads the
+    tracker (measured: the unclamped BA demo config diverged to 77 cm ATE
+    on one of three seeds, ABLATE_TRACKING_r04.json). Bounding each BA
+    write-back to ``max_dt`` meters of translation and ``max_rot_rad`` of
+    rotation keeps corrections incremental — a large genuine correction is
+    still reached over several mapped frames, but a divergent excursion
+    cannot capture the map in one step.
+
+    Args:
+        orig / new: (4, 4) c2w poses before/after the BA update.
+
+    Returns:
+        (4, 4) clamped pose.
+    """
+    orig = np.asarray(orig, dtype=np.float64)
+    new = np.asarray(new, dtype=np.float64)
+    dt = new[:3, 3] - orig[:3, 3]
+    n = float(np.linalg.norm(dt))
+    if n > max_dt:
+        dt = dt * (max_dt / n)
+
+    dR = new[:3, :3] @ orig[:3, :3].T
+    # axis-angle of the delta rotation
+    cos_a = np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)
+    ang = float(np.arccos(cos_a))
+    if ang > max_rot_rad and ang > 1e-9:
+        axis = np.array(
+            [dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0], dR[1, 0] - dR[0, 1]]
+        )
+        an = np.linalg.norm(axis)
+        if an > 1e-12:
+            axis = axis / an
+            a = max_rot_rad
+            K = np.array(
+                [
+                    [0.0, -axis[2], axis[1]],
+                    [axis[2], 0.0, -axis[0]],
+                    [-axis[1], axis[0], 0.0],
+                ]
+            )
+            dR = np.eye(3) + np.sin(a) * K + (1.0 - np.cos(a)) * (K @ K)
+
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = (dR @ orig[:3, :3]).astype(np.float32)
+    out[:3, 3] = (orig[:3, 3] + dt).astype(np.float32)
+    return out

@@ -437,14 +437,28 @@ class SLAMSystem:
                 ba_anchor=ba_anchor,
             )
             if refined_c2w is not None:
-                # write the BA-refined poses back: window keyframes into the
-                # store, the current frame into the trajectory (the tracker's
-                # next const-speed init then starts from the refined pose)
+                # write the BA-refined poses back through a trust-region
+                # clamp (ops/pose.py:clamp_pose_update — unclamped BA's
+                # pose-map feedback diverged on 1 of 3 ablation seeds):
+                # window keyframes into the store, the current frame into
+                # the trajectory (the tracker's next const-speed init then
+                # starts from the refined pose)
+                from attentive_dfprior_tpu.ops.pose import clamp_pose_update
+
+                mcfg = self.cfg["mapping"]
+                max_dt = float(mcfg.get("ba_max_dt", 0.02))
+                max_rot = float(np.deg2rad(mcfg.get("ba_max_rot_deg", 1.0)))
+                clamped = np.stack(
+                    [
+                        clamp_pose_update(f_c2w[wi], refined_c2w[wi], max_dt, max_rot)
+                        for wi in range(len(refined_c2w))
+                    ]
+                )
                 with self._kf_lock:
                     for wi, sl in enumerate(slots):
-                        self.keyframes.update_pose(int(sl), refined_c2w[wi])
-                c2w = refined_c2w[-1]
-                self.estimate_c2w_list[idx] = refined_c2w[-1]
+                        self.keyframes.update_pose(int(sl), clamped[wi])
+                c2w = clamped[-1]
+                self.estimate_c2w_list[idx] = clamped[-1]
             if self._map_key is not None:
                 self._map_key = key_out
             else:

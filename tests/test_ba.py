@@ -144,3 +144,31 @@ def test_ba_on_optimize_map_returns_refined_window():
     # rotation part stays orthonormal (quaternion parameterization)
     R = refined[1][:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_clamp_pose_update_bounds_delta():
+    from attentive_dfprior_tpu.ops.pose import clamp_pose_update
+
+    orig = np.eye(4, dtype=np.float32)
+    new = np.eye(4, dtype=np.float32)
+    new[:3, 3] = [0.3, 0.0, 0.0]  # 30 cm jump
+    th = np.deg2rad(20.0)
+    new[:3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+        np.float32,
+    )
+    out = clamp_pose_update(orig, new, max_dt=0.02, max_rot_rad=np.deg2rad(1.0))
+    assert abs(np.linalg.norm(out[:3, 3]) - 0.02) < 1e-6
+    dR = out[:3, :3]
+    ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+    assert abs(ang - np.deg2rad(1.0)) < 1e-5
+    # same direction of correction
+    assert out[0, 3] > 0
+    # orthonormal
+    np.testing.assert_allclose(dR @ dR.T, np.eye(3), atol=1e-6)
+
+    # small updates pass through untouched
+    small = np.eye(4, dtype=np.float32)
+    small[:3, 3] = [0.005, 0.0, 0.0]
+    out2 = clamp_pose_update(orig, small, 0.02, np.deg2rad(1.0))
+    np.testing.assert_allclose(out2, small, atol=1e-7)
