@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _selectors(C: int) -> np.ndarray:
@@ -47,33 +48,39 @@ def _selectors(C: int) -> np.ndarray:
 
 
 def _kernel(ny, nz, C, cur_ref, prev_ref, sel_ref, out_ref):
+    # blocks are native (ny, nz, 8C) x-planes: all shifts are pad-slices on
+    # the leading dims and the corner extraction contracts the trailing 8C
+    # axis with a one-hot (8C, C) matrix — no in-kernel reshapes (Mosaic
+    # rejects lane-dim splitting shape casts)
     x = pl.program_id(0)
-    row = 8 * C
 
-    def plane_contrib(plane, dx):
-        # plane: (ny, nz*row) viewed as (ny, nz, row)
-        p3 = plane.reshape(ny, nz, row)
-        acc = jnp.zeros((ny * nz, C), jnp.float32)
+    def plane_contrib(p3, dx):
+        # p3: (ny, nz, 8C). Extract each corner FIRST (one (8C, C) one-hot
+        # contraction -> a C-wide slab), THEN shift the small result —
+        # shifting the wide inputs instead materialized 8 x 2.5 MB slabs
+        # and blew the 16 MB scoped-vmem stack
+        acc = jnp.zeros((ny, nz, C), jnp.float32)
         for dy in (0, 1):
-            py = p3 if dy == 0 else jnp.pad(p3[: ny - 1], ((1, 0), (0, 0), (0, 0)))
             for dz in (0, 1):
-                pz = py if dz == 0 else jnp.pad(
-                    py[:, : nz - 1], ((0, 0), (1, 0), (0, 0))
-                )
                 ci = dx * 4 + dy * 2 + dz
-                acc = acc + jax.lax.dot_general(
-                    pz.reshape(ny * nz, row),
+                e = jax.lax.dot_general(
+                    p3,
                     sel_ref[ci],
-                    (((1,), (0,)), ((), ())),
+                    (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
+                )  # (ny, nz, C)
+                if dy:
+                    e = jnp.pad(e[: ny - 1], ((1, 0), (0, 0), (0, 0)))
+                if dz:
+                    e = jnp.pad(e[:, : nz - 1], ((0, 0), (1, 0), (0, 0)))
+                acc = acc + e
         return acc
 
     acc = plane_contrib(cur_ref[...], 0)
     # dx=1 corners come from plane x-1; at x == 0 there is none
     prev_scale = jnp.where(x > 0, 1.0, 0.0).astype(jnp.float32)
     acc = acc + prev_scale * plane_contrib(prev_ref[...], 1)
-    out_ref[...] = acc.reshape(1, ny * nz * C)
+    out_ref[...] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("grid_shape", "interpret"))
@@ -92,7 +99,7 @@ def cell_stencil_pallas(
     """
     nx, ny, nz, C = grid_shape
     row = 8 * C
-    planes = cells.reshape(nx, ny * nz * row)
+    planes = cells.reshape(nx * ny, nz, row)
     sel = jnp.asarray(_selectors(C))
 
     kern = functools.partial(_kernel, ny, nz, C)
@@ -100,14 +107,17 @@ def cell_stencil_pallas(
         kern,
         grid=(nx,),
         in_specs=[
-            pl.BlockSpec((1, ny * nz * row), lambda i: (i, 0)),
+            pl.BlockSpec((ny, nz, row), lambda i: (i, 0, 0)),
             # same array, shifted one x-plane back (clamped at 0; the kernel
             # zeroes the contribution at x == 0)
-            pl.BlockSpec((1, ny * nz * row), lambda i: (jnp.maximum(i - 1, 0), 0)),
+            pl.BlockSpec((ny, nz, row), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
             pl.BlockSpec(sel.shape, lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ny * nz * C), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nx, ny * nz * C), jnp.float32),
+        out_specs=pl.BlockSpec((ny, nz, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nx * ny, nz, C), jnp.float32),
         interpret=interpret,
+        # two double-buffered wide input planes exceed the default 16 MB
+        # scoped-vmem stack; the chip has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
     )(planes, planes, sel)
     return out.reshape(nx, ny, nz, C)
