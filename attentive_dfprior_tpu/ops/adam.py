@@ -36,10 +36,20 @@ fine), so stage-dependent LR schedules are plain jit arguments.
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# DFPRIOR_ADAM_LAZY=0 restores the pre-round-4 global step counter
+# (diagnostic only; the lazy default is the torch-parity behavior, pinned by
+# tests/test_reference_parity_loops.py). Read ONCE at import: adam_update is
+# called inside jitted scans, so an in-body env read would be baked in at
+# trace time anyway and silently ignore later flips — requiring a process
+# restart makes that explicit. Documented with the other DFPRIOR_* switches
+# in README.md.
+_ADAM_LAZY = os.environ.get("DFPRIOR_ADAM_LAZY", "1") != "0"
 
 
 class AdamState(NamedTuple):
@@ -80,33 +90,40 @@ def adam_update(
         (new_params, new_state)
     """
     # a leaf whose gradient is exactly zero everywhere was not in the loss
-    # graph this iteration (torch: p.grad is None -> state untouched).
-    # DFPRIOR_ADAM_LAZY=0 restores the pre-round-4 global step counter
-    # (diagnostic only; the lazy default is the torch-parity behavior,
-    # tests/test_reference_parity_loops.py)
-    import os
-
-    if os.environ.get("DFPRIOR_ADAM_LAZY", "1") == "0":
-        new_step = jax.tree_util.tree_map(lambda s, g: s + 1, state.step, grads)
+    # graph this iteration (torch: p.grad is None -> the leaf's step, moments
+    # AND parameter are all untouched). The per-leaf `touched` indicator
+    # gates all three, so the op matches torch for ANY gradient pattern —
+    # including a touched-then-untouched leaf (torch freezes it; decaying
+    # momentum and stepping would keep it moving) — not just the monotonic
+    # low->high->color stage schedule the mapper happens to use.
+    if _ADAM_LAZY:
+        touched = jax.tree_util.tree_map(lambda g: jnp.any(g != 0), grads)
     else:
-        new_step = jax.tree_util.tree_map(
-            lambda s, g: s + jnp.any(g != 0).astype(jnp.int32), state.step, grads
+        touched = jax.tree_util.tree_map(
+            lambda g: jnp.ones((), jnp.bool_), grads
         )
-    new_m = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.m, grads)
+    new_step = jax.tree_util.tree_map(
+        lambda s, t: s + t.astype(jnp.int32), state.step, touched
+    )
+    new_m = jax.tree_util.tree_map(
+        lambda m, g, t: jnp.where(t, b1 * m + (1 - b1) * g, m),
+        state.m, grads, touched,
+    )
     new_v = jax.tree_util.tree_map(
-        lambda v, g: b2 * v + (1 - b2) * (g * g), state.v, grads
+        lambda v, g, t: jnp.where(t, b2 * v + (1 - b2) * (g * g), v),
+        state.v, grads, touched,
     )
 
-    def upd(p, m, v, lr, t):
+    def upd(p, m, v, lr, t, tch):
         tf = t.astype(jnp.float32)
         # at t == 0 (leaf never touched) m == v == 0; guard the 0/0
         bc1 = jnp.maximum(1.0 - b1**tf, jnp.float32(1e-12))
         bc2 = jnp.maximum(1.0 - b2**tf, jnp.float32(1e-12))
         mhat = m / bc1
         vhat = v / bc2
-        return p - lr * mhat / (jnp.sqrt(vhat) + eps)
+        return jnp.where(tch, p - lr * mhat / (jnp.sqrt(vhat) + eps), p)
 
     new_params = jax.tree_util.tree_map(
-        upd, params, new_m, new_v, lr_tree, new_step
+        upd, params, new_m, new_v, lr_tree, new_step, touched
     )
     return new_params, AdamState(step=new_step, m=new_m, v=new_v)

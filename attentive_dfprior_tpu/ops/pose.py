@@ -171,6 +171,13 @@ def clamp_pose_update(
                 ]
             )
             dR = np.eye(3) + np.sin(a) * K + (1.0 - np.cos(a)) * (K @ K)
+        else:
+            # Near-180 deg delta: the antisymmetric part vanishes
+            # (|axis| = 2 sin(ang) -> 0 as ang -> pi), so no reliable
+            # clamp axis exists. Reject the rotation update entirely
+            # (keep orig's rotation) — passing the raw dR through here
+            # would wave the wildest excursions past the trust region.
+            dR = np.eye(3)
 
     out = np.eye(4, dtype=np.float32)
     out[:3, :3] = (dR @ orig[:3, :3]).astype(np.float32)

@@ -449,6 +449,16 @@ class Mapper:
         # keyframe bundle adjustment (framework extension; the reference
         # never optimizes window poses). Default off = reference semantics.
         self.ba = bool(m.get("BA", False))
+        if self.ba and bool(cfg.get("tracking", {}).get("gt_camera", False)):
+            # BA write-backs would overwrite the GROUND-TRUTH trajectory and
+            # keyframe poses with BA-perturbed ones (up to ba_max_dt /
+            # ba_max_rot_deg per mapped frame), silently degrading a
+            # GT-pose evaluation run — there is no drift for BA to fix.
+            print(
+                "[mapper] mapping.BA disabled: tracking.gt_camera is set "
+                "(BA would perturb the ground-truth poses)"
+            )
+            self.ba = False
         self.ba_cam_lr = float(m.get("ba_cam_lr", 1e-3))
         self.keyframe_selection_method = m.get("keyframe_selection_method", "overlap")
         self.stage_lrs = {

@@ -156,7 +156,7 @@ def track_frame(
     seperate_LR: bool = False,
     ray_sharding=None,
     lr_final_factor: float = 1.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Optimize the camera tensor for one frame; return the best candidate.
 
     Candidate selection matches the reference exactly (ref: Tracker.py:239-261):
@@ -299,6 +299,12 @@ class Tracker:
         visualizer=None,
     ) -> Tuple[np.ndarray, jax.Array, float]:
         """Track one frame; returns (est c2w 4x4, new key, final loss).
+
+        The returned loss is deliberately the LAST iteration's loss while the
+        returned pose is the MIN-loss candidate: the reference prints the
+        final-iteration loss (ref: src/Tracker.py:239) but keeps the best
+        candidate (ref: src/Tracker.py:255-261) — do not "fix" one to match
+        the other.
 
         With ``visualizer``, renders the reference's inside-iteration panels
         (ref: src/Tracker.py:241-243) at the recorded per-iteration poses.

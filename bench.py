@@ -186,6 +186,7 @@ def measure_workload(name: str, reps: int = 5, after_warmup=None):
         "rays_per_s_min": round(rays_per_cycle / max(rep_times), 1),
         "rays_per_s_max": round(rays_per_cycle / min(rep_times), 1),
         "compile_s": round(compile_s, 1),
+        "compile_cache": _cache_state(),
         "samples_per_ray": rcfg.N_samples + rcfg.N_surface,
         "tsdf_voxels": int(np.prod(dims)),
     }
@@ -203,6 +204,30 @@ def measure_workload(name: str, reps: int = 5, after_warmup=None):
         _mat_flops(params[k]) for k in ("low", "high", "color", "mlp")
     )
     return rec
+
+
+_CACHE_STATE0 = None
+
+
+def _cache_state():
+    """Persistent-compile-cache evidence for the artifact: dir + whether this
+    process started warm (entries already present at process start =>
+    compile_s is a warm-start time, not the ~46 s cold ScanNet compile).
+    Snapshotted ONCE on first call (before any warmup compile finishes
+    writing new entries would still race; main() calls this right after
+    enabling the cache, before building any jitted graph)."""
+    global _CACHE_STATE0
+    if _CACHE_STATE0 is None:
+        import glob
+        import os
+
+        d = os.environ.get(
+            "DFPRIOR_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "dfprior_jax"),
+        )
+        n = len(glob.glob(os.path.join(d, "*"))) if os.path.isdir(d) else 0
+        _CACHE_STATE0 = {"dir": d, "entries_at_start": n, "warm_start": n > 0}
+    return _CACHE_STATE0
 
 
 def _mem_stats(jax):
@@ -231,6 +256,7 @@ def main():
     from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _cache_state()  # snapshot warm/cold before any compilation
 
     state = {}
 

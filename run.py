@@ -52,10 +52,13 @@ def main():
     from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
     from attentive_dfprior_tpu.utils.logger import latest_checkpoint
 
-    enable_compilation_cache()
-
     cfg = load_config(args.config, default_config_path())
     cfg["seed"] = args.seed
+    # Persistent XLA compilation cache: ScanNet-scale step graphs compile in
+    # ~46 s cold (BENCH_r04 scannet.compile_s); a warm restart skips that.
+    # Config knob `compile_cache_dir` overrides the default ~/.cache path
+    # (DFPRIOR_COMPILE_CACHE=0 disables, DFPRIOR_COMPILE_CACHE_DIR also works).
+    enable_compilation_cache(cfg.get("compile_cache_dir"))
 
     # Multi-host entry: each host runs this same script; jax.distributed
     # wires the hosts into one slice-wide runtime (coordinator address etc.
