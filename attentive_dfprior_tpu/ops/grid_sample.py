@@ -115,6 +115,57 @@ def trilinear_sample(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
     return c0 * (1 - fx) + c1 * fx
 
 
+def _build_zpair(grid: jnp.ndarray) -> jnp.ndarray:
+    """(NX, NY, NZ, C) grid -> (NX*NY*NZ, 2C) z-pair rows.
+
+    Row v holds [grid[v], grid[v + 1 in z]]; the last z-plane repeats
+    itself, which is never read with nonzero weight (border clamp implies
+    fz == 0 exactly there — same argument as the cell-stencil border
+    note). Doubles the bytes per row to 256 at C=32 so each corner pair
+    costs ONE ~512-byte-transaction row gather instead of two 128-byte
+    ones. A dense build (one elementwise pass over the grid) per sampled
+    grid per iteration; its autodiff transpose is two shifted adds.
+    """
+    nx, ny, nz, C = grid.shape
+    flat = grid.reshape(nx * ny * nz, C)
+    shifted = jnp.concatenate(
+        [grid[:, :, 1:, :], grid[:, :, nz - 1 :, :]], axis=2
+    ).reshape(nx * ny * nz, C)
+    return jnp.concatenate([flat, shifted], axis=1)
+
+
+def trilinear_sample_zpair(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
+    """trilinear_sample via 4 wide z-pair row gathers (value-identical
+    association: z-mix per row first, then the same y/x combines)."""
+    nx, ny, nz, C = grid.shape
+    dims = jnp.array([nx, ny, nz], dtype=p_norm.dtype)
+    idx = (p_norm + 1.0) * 0.5 * (dims - 1.0)
+    idx = jnp.clip(idx, 0.0, dims - 1.0)
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    i0 = jnp.minimum(i0, jnp.array([nx - 1, ny - 1, nz - 1], dtype=jnp.int32))
+    i1 = jnp.minimum(i0 + 1, jnp.array([nx - 1, ny - 1, nz - 1], dtype=jnp.int32))
+    f = idx - i0.astype(idx.dtype)
+    x0, y0, z0 = i0[:, 0], i0[:, 1], i0[:, 2]
+    x1, y1 = i1[:, 0], i1[:, 1]
+    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+
+    dup = _build_zpair(grid)
+
+    def gather(ix, iy):
+        return jnp.take(dup, (ix * ny + iy) * nz + z0, axis=0)  # (N, 2C)
+
+    def zmix(r):
+        return r[:, :C] * (1 - fz) + r[:, C:] * fz
+
+    c00 = zmix(gather(x0, y0))
+    c01 = zmix(gather(x0, y1))
+    c10 = zmix(gather(x1, y0))
+    c11 = zmix(gather(x1, y1))
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
 def sample_feature_grid(
     grid: jnp.ndarray, p: jnp.ndarray, bound: jnp.ndarray
 ) -> jnp.ndarray:
@@ -122,10 +173,11 @@ def sample_feature_grid(
 
     Equivalent of MLP.sample_grid_feature (ref: decoder.py:168-175).
 
-    The default VJP is the cell-scatter+stencil grid gradient
-    (trilinear_sample_cs below, measured 1.54x over XLA's scatter-add on
-    TPU); DFPRIOR_TRILINEAR_VJP=xla restores the plain autodiff transpose,
-    =sorted selects the shelved sorted-segmented experiment.
+    The default impl is trilinear_sample_bf (z-pair forward + XLA 3-stage
+    bit-fold VJP — the measured-best full mapping step). DFPRIOR_TRILINEAR_VJP
+    selects others: =halo the Pallas single-read halo-fold (best isolated
+    VJP), =cellstencil the round-4 transpose+stencil, =xla the autodiff
+    transpose, =pallas / =sorted the shelved negative-result experiments.
 
     Args:
         grid: (NX, NY, NZ, C).
@@ -137,11 +189,13 @@ def sample_feature_grid(
     """
     import os
 
-    impl = os.environ.get("DFPRIOR_TRILINEAR_VJP", "cellstencil")
+    impl = os.environ.get("DFPRIOR_TRILINEAR_VJP", "bitfold")
     fn = {
         "sorted": trilinear_sample_opt,
         "xla": trilinear_sample,
         "pallas": trilinear_sample_psc,
+        "halo": trilinear_sample_halo,
+        "bitfold": trilinear_sample_bf,
     }.get(impl, trilinear_sample_cs)
     return fn(grid, normalize_3d_coordinate(p, bound))
 
@@ -303,6 +357,45 @@ def _cell_stencil_grid_grad(
     return out
 
 
+def _cell_bitfold_grid_grad(grid_shape, cells: jnp.ndarray) -> jnp.ndarray:
+    """Cell buffer -> grid gradient via a 3-stage axis bit-fold (no
+    corner-major transpose).
+
+    The corner index inside the wide row is (cx, cy, cz)-lexicographic
+    (ci = cx*4 + cy*2 + cz — see _cell_scatter), so the 8-corner stencil
+
+        grad[x,y,z,c] = sum_d cells[x-cx, y-cy, z-cz, corner(cx,cy,cz), c]
+
+    factorizes into one shifted add per AXIS, each halving the column
+    count: fold cx (8C->4C, a 128-lane-aligned split at C=32), then cy
+    (4C->2C), then cz (2C->C). Data touched: 186 + 93 + 47 + 23 MB for the
+    room0 high grid vs the transpose formulation's 372 + 207 + 186-read —
+    and every slice is layout-friendly (no (nvox, 8, C) -> (8, nvox, C)
+    relayout).
+
+    Args:
+        grid_shape: static (NX, NY, NZ, C).
+        cells: (NX*NY*NZ, 8C) cell-corner buffer from _cell_scatter.
+
+    Returns:
+        (NX, NY, NZ, C) gradient.
+    """
+    nx, ny, nz, C = grid_shape
+    B = cells.reshape(nx, ny, nz, 8 * C)
+    # fold cx: A1[x, ..., (cy,cz)c] = B[x, (0,cy,cz)c] + B[x-1, (1,cy,cz)c]
+    A1 = B[..., : 4 * C] + jnp.pad(
+        B[: nx - 1, ..., 4 * C :], ((1, 0), (0, 0), (0, 0), (0, 0))
+    )
+    # fold cy
+    A2 = A1[..., : 2 * C] + jnp.pad(
+        A1[:, : ny - 1, :, 2 * C :], ((0, 0), (1, 0), (0, 0), (0, 0))
+    )
+    # fold cz
+    return A2[..., :C] + jnp.pad(
+        A2[:, :, : nz - 1, C:], ((0, 0), (0, 0), (1, 0), (0, 0))
+    )
+
+
 @jax.custom_vjp
 def trilinear_sample_cs(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
     """trilinear_sample with the cell-scatter+stencil grid gradient."""
@@ -327,6 +420,77 @@ def _cs_bwd(res, g):
 
 
 trilinear_sample_cs.defvjp(_cs_fwd, _cs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Cell-scatter + bit-fold / Pallas-halo grid gradients (round-5 kernels)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def trilinear_sample_bf(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
+    """The round-5 production trilinear sampler: z-pair wide-row forward
+    gather (bit-identical values to trilinear_sample; 1.5x on isolated
+    forward-only paths, neutral inside the fused mapping step) + the
+    cell-scatter + XLA 3-stage bit-fold grid gradient.
+
+    Measured 2026-08-21 (room0 reference workload, same session): full
+    mapping iteration 18.70 -> 16.57 ms (1.13x) vs the round-4
+    cellstencil. The Pallas halo kernel (=halo) wins the VJP in isolation
+    (fwd+bwd 13.49 vs 14.77 ms) but loses ~2.4 ms of Adam-side fusion at
+    the custom-call boundary in the full step — kept env-selectable for
+    VJP-heavy contexts without a fused optimizer consumer."""
+    return trilinear_sample_zpair(grid, p_norm)
+
+
+def _bf_fwd(grid, p_norm):
+    return trilinear_sample_zpair(grid, p_norm), (grid, p_norm)
+
+
+def _bf_bwd(res, g):
+    grid, p_norm = res
+    _, pullback = jax.vjp(
+        lambda p: trilinear_sample(jax.lax.stop_gradient(grid), p), p_norm
+    )
+    (p_grad,) = pullback(g)
+    cells = _cell_scatter(grid.shape, p_norm, g)
+    return _cell_bitfold_grid_grad(grid.shape, cells), p_grad
+
+
+trilinear_sample_bf.defvjp(_bf_fwd, _bf_bwd)
+
+
+@jax.custom_vjp
+def trilinear_sample_halo(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
+    """The round-5 production trilinear sampler: z-pair wide-row forward
+    gather (bit-identical values to trilinear_sample, 1.5x on TPU) +
+    cell-scatter + Pallas halo-fold grid gradient (single-read bit-fold
+    stencil, ops/pallas/halo_fold_kernel.py; 1.6x over the round-4 XLA
+    cell-stencil, 2.5x over the autodiff transpose — measured 2026-08-21,
+    room0 high grid at the 48k-point reference workload)."""
+    return trilinear_sample_zpair(grid, p_norm)
+
+
+def _halo_fwd(grid, p_norm):
+    return trilinear_sample_zpair(grid, p_norm), (grid, p_norm)
+
+
+def _halo_bwd(res, g):
+    from attentive_dfprior_tpu.ops.pallas.halo_fold_kernel import cell_fold_halo
+
+    grid, p_norm = res
+    _, pullback = jax.vjp(
+        lambda p: trilinear_sample(jax.lax.stop_gradient(grid), p), p_norm
+    )
+    (p_grad,) = pullback(g)
+    cells = _cell_scatter(grid.shape, p_norm, g)
+    grid_grad = cell_fold_halo(
+        cells, grid.shape, bx=8, interpret=jax.default_backend() == "cpu"
+    )
+    return grid_grad, p_grad
+
+
+trilinear_sample_halo.defvjp(_halo_fwd, _halo_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -260,11 +260,19 @@ def main():
             return outer
 
         ct = jnp.ones((N, C), jnp.float32)
-        from attentive_dfprior_tpu.ops.grid_sample import trilinear_sample_cs
+        from attentive_dfprior_tpu.ops.grid_sample import (
+            trilinear_sample_cs,
+            trilinear_sample_halo,
+        )
 
-        # production path (cell-scatter + stencil custom VJP)
+        # production path (cell-scatter + Pallas halo-fold custom VJP)
         results[f"scatter_bwd_{gk}"] = slope_time(
-            f"scatter_bwd_{gk}", make_s(trilinear_sample_cs),
+            f"scatter_bwd_{gk}", make_s(trilinear_sample_halo),
+            (params[gk], pn, ct),
+        )
+        # round-4 cell-scatter + XLA transpose+stencil, for comparison
+        results[f"scatter_bwd_cs_{gk}"] = slope_time(
+            f"scatter_bwd_cs_{gk}", make_s(trilinear_sample_cs),
             (params[gk], pn, ct),
         )
         # XLA autodiff transpose, for the comparison row
@@ -361,6 +369,26 @@ def main():
     cells0 = jnp.zeros((nvox, 8 * Cg))
     results["cellgrad_stencil_high"] = slope_time(
         "cellgrad_stencil_high", make_stencil, (cells0,)
+    )
+
+    def make_bitfold(n):
+        from attentive_dfprior_tpu.ops.grid_sample import (
+            _cell_bitfold_grid_grad,
+        )
+
+        def run(cells):
+            def body(acc, k):
+                return acc + _cell_bitfold_grid_grad(gshape, cells + k), ()
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros(gshape), jnp.arange(n, dtype=jnp.float32)
+            )
+            return out
+
+        return run
+
+    results["cellgrad_bitfold_high"] = slope_time(
+        "cellgrad_bitfold_high", make_bitfold, (cells0,)
     )
 
     # ---- TSDF volume sample (196M voxels) ----

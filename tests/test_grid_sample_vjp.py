@@ -2,6 +2,7 @@
 match autodiff of the reference implementation exactly."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,15 +78,25 @@ def test_corner_indices_weights_partition_of_unity():
     assert (np.asarray(ids) >= 0).all() and (np.asarray(ids) < 5 * 6 * 7).all()
 
 
-class TestCellStencilVJP:
-    """The production cell-scatter+stencil VJP (trilinear_sample_cs,
-    measured 1.54x over XLA's scatter transpose on TPU —
-    scripts/bench_scatter.py b5) must match autodiff exactly, including
-    border-clamped points where i1 collapses onto i0."""
+def _variant(name):
+    from attentive_dfprior_tpu.ops import grid_sample as gs
 
-    def _check(self, shape, p, seed=0):
-        from attentive_dfprior_tpu.ops.grid_sample import trilinear_sample_cs
+    return {
+        "cs": gs.trilinear_sample_cs,
+        "bitfold": gs.trilinear_sample_bf,
+        "halo": gs.trilinear_sample_halo,
+    }[name]
 
+
+@pytest.mark.parametrize("variant", ["cs", "bitfold", "halo"])
+class TestCustomVJPVariants:
+    """Every custom-VJP sampler variant (round-4 cell-scatter+stencil, the
+    round-5 XLA bit-fold production default, and the round-5 Pallas
+    halo-fold) must match autodiff of the reference implementation,
+    including border-clamped points where i1 collapses onto i0."""
+
+    def _check(self, variant, shape, p, seed=0):
+        sampler = _variant(variant)
         rng = np.random.default_rng(seed)
         grid = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
         cot = jnp.asarray(
@@ -95,36 +106,36 @@ class TestCellStencilVJP:
         def loss_ref(g, pp):
             return jnp.sum(trilinear_sample(g, pp) * cot)
 
-        def loss_cs(g, pp):
-            return jnp.sum(trilinear_sample_cs(g, pp) * cot)
+        def loss_v(g, pp):
+            return jnp.sum(sampler(g, pp) * cot)
 
         g_ref, p_ref = jax.grad(loss_ref, argnums=(0, 1))(grid, p)
-        g_cs, p_cs = jax.grad(loss_cs, argnums=(0, 1))(grid, p)
+        g_v, p_v = jax.grad(loss_v, argnums=(0, 1))(grid, p)
         np.testing.assert_allclose(
-            np.asarray(g_cs), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+            np.asarray(g_v), np.asarray(g_ref), rtol=1e-4, atol=1e-5
         )
         np.testing.assert_allclose(
-            np.asarray(p_cs), np.asarray(p_ref), rtol=1e-4, atol=1e-5
+            np.asarray(p_v), np.asarray(p_ref), rtol=1e-4, atol=1e-5
         )
 
-    def test_forward_identical(self):
-        from attentive_dfprior_tpu.ops.grid_sample import trilinear_sample_cs
-
+    def test_forward_identical(self, variant):
+        sampler = _variant(variant)
         rng = np.random.default_rng(3)
         grid = jnp.asarray(rng.standard_normal((6, 7, 8, 4)).astype(np.float32))
         p = jnp.asarray(rng.uniform(-1.2, 1.2, (200, 3)).astype(np.float32))
-        np.testing.assert_allclose(
-            np.asarray(trilinear_sample_cs(grid, p)),
+        # the z-pair forward (bitfold/halo) is bit-identical by
+        # construction (same ops, same association) — assert exactly
+        np.testing.assert_array_equal(
+            np.asarray(sampler(grid, p)),
             np.asarray(trilinear_sample(grid, p)),
-            rtol=1e-6,
         )
 
-    def test_interior_points(self):
+    def test_interior_points(self, variant):
         rng = np.random.default_rng(4)
         p = jnp.asarray(rng.uniform(-0.9, 0.9, (150, 3)).astype(np.float32))
-        self._check((5, 6, 7, 3), p, seed=4)
+        self._check(variant, (5, 6, 7, 3), p, seed=4)
 
-    def test_border_and_out_of_bound_points(self):
+    def test_border_and_out_of_bound_points(self, variant):
         """Clamped points exercise the collapsed-corner (f=0) case that the
         stencil's zero-padding must reproduce."""
         rng = np.random.default_rng(5)
@@ -135,22 +146,37 @@ class TestCellStencilVJP:
                           [1.0, -1.0, 1.0]]),
             ]).astype(np.float32)
         )
-        self._check((6, 5, 4, 2), p, seed=5)
+        self._check(variant, (6, 5, 4, 2), p, seed=5)
 
-    def test_duplicate_heavy_cluster(self):
+    def test_duplicate_heavy_cluster(self, variant):
         rng = np.random.default_rng(6)
         p = jnp.asarray(
             (0.1 + 0.01 * rng.uniform(-1, 1, (300, 3))).astype(np.float32)
         )
-        self._check((4, 4, 4, 2), p, seed=6)
+        self._check(variant, (4, 4, 4, 2), p, seed=6)
 
-    def test_is_default_impl(self):
-        """sample_feature_grid must route to the cell-stencil VJP unless
-        DFPRIOR_TRILINEAR_VJP overrides it."""
-        import os
 
-        from attentive_dfprior_tpu.ops import grid_sample
+def test_default_impl_is_bitfold():
+    """sample_feature_grid must route to the bit-fold production sampler
+    unless DFPRIOR_TRILINEAR_VJP overrides it (kept in sync with the
+    README env-switch table)."""
+    import os
 
-        assert os.environ.get("DFPRIOR_TRILINEAR_VJP", "cellstencil") in (
-            "cellstencil", "xla", "sorted",
+    assert os.environ.get("DFPRIOR_TRILINEAR_VJP", "bitfold") in (
+        "bitfold", "halo", "cellstencil", "xla", "sorted", "pallas",
+    )
+
+
+def test_zpair_forward_bit_identical_on_non_channel_last_sizes():
+    """Odd C (not 32) and tiny nz exercise the z-pair build's last-plane
+    repeat and the clamp argument that its value is never read."""
+    from attentive_dfprior_tpu.ops.grid_sample import trilinear_sample_zpair
+
+    rng = np.random.default_rng(7)
+    for shape in [(4, 5, 2, 3), (3, 3, 3, 1), (6, 2, 9, 5)]:
+        grid = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        p = jnp.asarray(rng.uniform(-1.3, 1.3, (100, 3)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(trilinear_sample_zpair(grid, p)),
+            np.asarray(trilinear_sample(grid, p)),
         )
