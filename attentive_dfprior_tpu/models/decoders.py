@@ -220,6 +220,36 @@ def sample_tsdf(
         return trilinear_sample_rows(
             tsdf_volume, normalize_3d_coordinate(p, tsdf_bnds)
         )
+    # plain-volume fallback: the z-pair wide-row gather for small/medium
+    # volumes. The volume is a CONSTANT prior, so XLA hoists the
+    # (nvox, 2)-row duplicate build out of the surrounding iteration scan
+    # and each lookup becomes 4 wide row gathers instead of 8 single-float
+    # ones — measured 13.2 -> 1.3 ms at the 196M-voxel room0 prior. But
+    # the dup doubles the volume's HBM footprint (1.6 GB at room0 full
+    # res), which faulted the chip when combined with a full training
+    # graph — so the wide path is size-gated; big volumes should use the
+    # TSDFRows production container instead.
+    nvox = (
+        tsdf_volume.shape[0] * tsdf_volume.shape[1] * tsdf_volume.shape[2]
+    )
+    if nvox <= 64_000_000:
+        from attentive_dfprior_tpu.ops.grid_sample import (
+            trilinear_sample_zpair,
+        )
+
+        return trilinear_sample_zpair(
+            tsdf_volume[..., None], normalize_3d_coordinate(p, tsdf_bnds)
+        )[:, 0]
+    # Huge plain volume: keep the reference-faithful 8-corner gather.
+    # Anything that materializes an extra ~1 GB inside the training scan
+    # graph (a z-pair dup, or an in-graph pad+reshape to the rows layout)
+    # reproducibly faults the chip regardless of the VJP implementation
+    # (isolated 2026-08-21); production callers convert ONCE host-side via
+    # tsdf_to_rows (slam/system.py) and get the 6.9x rows path. The one
+    # additional known-bad combination — this plain gather sharing a full
+    # mapping graph with the Pallas halo-fold VJP — is documented in
+    # ops/pallas/halo_fold_kernel.py (workaround:
+    # DFPRIOR_TRILINEAR_VJP=bitfold).
     return sample_feature_grid(tsdf_volume[..., None], p, tsdf_bnds)[:, 0]
 
 

@@ -173,11 +173,15 @@ def sample_feature_grid(
 
     Equivalent of MLP.sample_grid_feature (ref: decoder.py:168-175).
 
-    The default impl is trilinear_sample_bf (z-pair forward + XLA 3-stage
-    bit-fold VJP — the measured-best full mapping step). DFPRIOR_TRILINEAR_VJP
-    selects others: =halo the Pallas single-read halo-fold (best isolated
-    VJP), =cellstencil the round-4 transpose+stencil, =xla the autodiff
-    transpose, =pallas / =sorted the shelved negative-result experiments.
+    The default impl is trilinear_sample_halo (Pallas single-read
+    halo-fold VJP — the measured-best full mapping step, 18.7 -> 15.1 ms,
+    1.24x). DFPRIOR_TRILINEAR_VJP selects others: =bitfold the XLA 3-stage
+    fold (16.7 ms, no Pallas dependency), =cellstencil the round-4
+    transpose+stencil, =xla the autodiff transpose, =pallas / =sorted the
+    shelved negative-result experiments. NOTE the z-pair forward
+    (trilinear_sample_zpair) is deliberately NOT used here: it wins
+    isolated forward-only gathers 1.5x but costs ~2 ms inside the full
+    mapping step (measured both ways, 2026-08-21).
 
     Args:
         grid: (NX, NY, NZ, C).
@@ -189,7 +193,7 @@ def sample_feature_grid(
     """
     import os
 
-    impl = os.environ.get("DFPRIOR_TRILINEAR_VJP", "bitfold")
+    impl = os.environ.get("DFPRIOR_TRILINEAR_VJP", "halo")
     fn = {
         "sorted": trilinear_sample_opt,
         "xla": trilinear_sample,
@@ -440,11 +444,11 @@ def trilinear_sample_bf(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
     (fwd+bwd 13.49 vs 14.77 ms) but loses ~2.4 ms of Adam-side fusion at
     the custom-call boundary in the full step — kept env-selectable for
     VJP-heavy contexts without a fused optimizer consumer."""
-    return trilinear_sample_zpair(grid, p_norm)
+    return trilinear_sample(grid, p_norm)
 
 
 def _bf_fwd(grid, p_norm):
-    return trilinear_sample_zpair(grid, p_norm), (grid, p_norm)
+    return trilinear_sample(grid, p_norm), (grid, p_norm)
 
 
 def _bf_bwd(res, g):
@@ -462,17 +466,17 @@ trilinear_sample_bf.defvjp(_bf_fwd, _bf_bwd)
 
 @jax.custom_vjp
 def trilinear_sample_halo(grid: jnp.ndarray, p_norm: jnp.ndarray) -> jnp.ndarray:
-    """The round-5 production trilinear sampler: z-pair wide-row forward
-    gather (bit-identical values to trilinear_sample, 1.5x on TPU) +
-    cell-scatter + Pallas halo-fold grid gradient (single-read bit-fold
-    stencil, ops/pallas/halo_fold_kernel.py; 1.6x over the round-4 XLA
-    cell-stencil, 2.5x over the autodiff transpose — measured 2026-08-21,
-    room0 high grid at the 48k-point reference workload)."""
-    return trilinear_sample_zpair(grid, p_norm)
+    """trilinear_sample with the cell-scatter + Pallas halo-fold grid
+    gradient (single-read bit-fold stencil, ops/pallas/halo_fold_kernel.py).
+    THE PRODUCTION DEFAULT: full mapping iteration 18.70 -> 15.12 ms
+    (1.24x) vs the round-4 cellstencil; high-grid VJP 2.81 vs 4.49 ms,
+    2.5x over the autodiff transpose (measured 2026-08-21 at the 48k-point
+    reference workload, same session for every number)."""
+    return trilinear_sample(grid, p_norm)
 
 
 def _halo_fwd(grid, p_norm):
-    return trilinear_sample_zpair(grid, p_norm), (grid, p_norm)
+    return trilinear_sample(grid, p_norm), (grid, p_norm)
 
 
 def _halo_bwd(res, g):

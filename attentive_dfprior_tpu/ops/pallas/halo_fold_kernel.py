@@ -26,6 +26,20 @@ Numerics: pure adds; per-output sums reassociate (x-pair first) relative
 to the XLA corner-order sum, so parity vs _cell_stencil_grid_grad is
 float32-roundoff, pinned in tests/test_pallas_kernels.py.
 
+KNOWN ISSUE (2026-08-21): one specific non-production graph — the FULL
+mapping iteration over a giant plain (X,Y,Z) TSDF volume (196M voxels,
+width-1-row gathers) — reproducibly faults the chip when it contains this
+kernel, while the production TSDFRows graphs are stable (verified
+repeatedly, incl. under 8 GB HBM ballast) and minimal big-temp+kernel
+repros do not fault. Upstream XLA/Mosaic interaction; the legacy layout
+row in scripts/profile_mapping.py pins itself to the pure-XLA bitfold VJP.
+(Related finding, same day: materializing an extra ~1 GB inside the
+training scan graph — e.g. an in-graph pad of the giant volume — faults
+even WITHOUT this kernel, so the fault class is the graph, not the
+kernel.) If a user graph ever hits this, set
+DFPRIOR_TRILINEAR_VJP=bitfold (16.7 vs 15.1 ms/iter) or convert the
+volume host-side with tsdf_to_rows as production does.
+
 Reference counterpart being replaced: cuDNN grid_sample backward
 (ref: src/conv_onet/models/decoder.py:168-175 uses F.grid_sample on the
 feature grids; its autodiff scatter-add is the CUDA analogue).

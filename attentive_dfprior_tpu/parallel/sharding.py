@@ -63,6 +63,40 @@ def mesh_from_config(cfg) -> Optional[Mesh]:
     return make_mesh(devices)
 
 
+def split_meshes_from_config(cfg) -> Optional[Tuple[Mesh, Mesh]]:
+    """Disjoint mapper/tracker device meshes from ``parallel.split``.
+
+    Config surface:
+        parallel:
+          enable: True
+          split: {map: 6, track: 2}   # disjoint device subsets
+
+    The async (loose/free) modes' reason to exist is multi-chip overlap:
+    with ONE mesh the mapper worker thread and the tracker serialize on the
+    same devices (measured, ASYNC_r04 — loose ~= strict on a single chip).
+    A split assigns the mapper the first ``map`` devices and the tracker
+    the next ``track``, so the two agents' device work genuinely overlaps.
+    The published scene snapshot becomes a cross-mesh device_put (replicated
+    onto the tracker's devices) instead of a same-device copy.
+
+    Returns (map_mesh, track_mesh), or None when not configured.
+    """
+    p = cfg.get("parallel", {}) if cfg else {}
+    split = p.get("split")
+    if not p or not bool(p.get("enable", False)) or not split:
+        return None
+    k = int(split.get("map", 0))
+    m = int(split.get("track", 0))
+    if k < 1 or m < 1:
+        raise ValueError(f"parallel.split needs map>=1 and track>=1, got {split}")
+    devices = jax.devices()
+    if k + m > len(devices):
+        raise ValueError(
+            f"parallel.split map={k}+track={m} exceeds {len(devices)} devices"
+        )
+    return make_mesh(devices[:k]), make_mesh(devices[k : k + m])
+
+
 def ray_sharding(mesh: Optional[Mesh], axis: str = "dp") -> Optional[NamedSharding]:
     """NamedSharding that splits the leading (ray) axis across the mesh."""
     if mesh is None:

@@ -90,8 +90,47 @@ def keyframe_selection_overlap(
     K = len(keyframe_poses)
     if K == 0:
         return []
+    percent_inside = keyframe_overlap_scores(
+        rng, gt_depth, c2w, keyframe_poses, H, W, fx, fy, cx, cy,
+        N_samples=N_samples, pixels=pixels,
+    )
 
-    # sample pixels with valid depth preference (uniform, like reference)
+    # stable: ties keep insertion order, like the reference's sorted()
+    # (ref: src/Mapper.py:216-217)
+    order = np.argsort(-percent_inside, kind="stable")
+    selected = [int(i) for i in order if percent_inside[i] > 0.0]
+    perm = rng.permutation(len(selected))
+    return [selected[int(p)] for p in perm[:k]]
+
+
+def keyframe_overlap_scores(
+    rng: np.random.Generator,
+    gt_depth: np.ndarray,
+    c2w: np.ndarray,
+    keyframe_poses: np.ndarray,
+    H: int,
+    W: int,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    N_samples: int = 16,
+    pixels: int = 100,
+) -> np.ndarray:
+    """Per-keyframe view-overlap scores for the current frame.
+
+    The scoring half of keyframe_selection_overlap (ref:
+    src/Mapper.py:160-222): sample ``pixels`` rays from the current view,
+    take ``N_samples`` depth-ranged points per ray, project the cloud into
+    each candidate keyframe, score by the fraction landing inside the
+    image (20 px margin, in front of the camera). Also the revisit
+    detector for the loop-closure stage (slam/loop_closure.py — a
+    framework extension; the reference only uses the score for window
+    selection).
+
+    Returns:
+        (K,) fraction-inside per keyframe.
+    """
     jj = rng.integers(0, H, pixels)
     ii = rng.integers(0, W, pixels)
     d = gt_depth[jj, ii]  # (P,)
@@ -125,11 +164,4 @@ def keyframe_selection_overlap(
         & (v[..., 0] > edge)
         & (z[..., 0] < 0)
     )
-    percent_inside = inside.mean(axis=1)  # (K,)
-
-    # stable: ties keep insertion order, like the reference's sorted()
-    # (ref: src/Mapper.py:216-217)
-    order = np.argsort(-percent_inside, kind="stable")
-    selected = [int(i) for i in order if percent_inside[i] > 0.0]
-    perm = rng.permutation(len(selected))
-    return [selected[int(p)] for p in perm[:k]]
+    return inside.mean(axis=1)  # (K,)

@@ -207,21 +207,56 @@ class SLAMSystem:
             mesh_from_config,
             ray_sharding,
             replicate,
+            split_meshes_from_config,
         )
 
-        self.mesh = mesh_from_config(cfg)
-        self.ray_sharding = ray_sharding(self.mesh)
-        if self.mesh is not None:
-            # scene params + prior volume replicated across the mesh; ray
-            # batches get sharded inside the jitted steps (constrain_rays)
+        split = split_meshes_from_config(cfg)
+        if split is not None:
+            # device-split agents: mapper on devices[:k], tracker on the
+            # next m — async (loose/free) overlap becomes real device
+            # concurrency instead of host-thread interleaving on one mesh
+            # (ASYNC_r04 measured loose ~= strict with a shared mesh)
+            if cfg.get("sync_method", "strict") == "strict":
+                raise ValueError(
+                    "parallel.split requires sync_method 'loose' or 'free': "
+                    "strict mode serializes the agents, so split devices "
+                    "would only idle (and side outputs would mix meshes)"
+                )
+            self.mesh, self.track_mesh = split
+            self.ray_sharding = ray_sharding(self.mesh)
+            self.track_sharding = ray_sharding(self.track_mesh)
             self.params = replicate(self.mesh, self.params)
             self.tsdf_volume = replicate(self.mesh, self.tsdf_volume)
-            self.tsdf_volume_mesh = replicate(self.mesh, self.tsdf_volume_mesh)
-            self.tsdf_volume_track = replicate(self.mesh, self.tsdf_volume_track)
-            print(
-                f"parallel: ray-axis DP over {len(self.mesh.devices.flat)} "
-                f"devices ({self.mesh.devices.flat[0].platform})"
+            # meshing consumes the PUBLISHED (track-mesh) snapshots in
+            # async mode, so its volume lives with the tracker
+            self.tsdf_volume_mesh = replicate(
+                self.track_mesh, self.tsdf_volume_mesh
             )
+            self.tsdf_volume_track = replicate(
+                self.track_mesh, self.tsdf_volume_track
+            )
+            print(
+                f"parallel: split agents — map DP over "
+                f"{len(self.mesh.devices.flat)} devices, track DP over "
+                f"{len(self.track_mesh.devices.flat)} devices "
+                f"({self.mesh.devices.flat[0].platform})"
+            )
+        else:
+            self.mesh = mesh_from_config(cfg)
+            self.track_mesh = self.mesh
+            self.ray_sharding = ray_sharding(self.mesh)
+            self.track_sharding = self.ray_sharding
+            if self.mesh is not None:
+                # scene params + prior volume replicated across the mesh; ray
+                # batches get sharded inside the jitted steps (constrain_rays)
+                self.params = replicate(self.mesh, self.params)
+                self.tsdf_volume = replicate(self.mesh, self.tsdf_volume)
+                self.tsdf_volume_mesh = replicate(self.mesh, self.tsdf_volume_mesh)
+                self.tsdf_volume_track = replicate(self.mesh, self.tsdf_volume_track)
+                print(
+                    f"parallel: ray-axis DP over {len(self.mesh.devices.flat)} "
+                    f"devices ({self.mesh.devices.flat[0].platform})"
+                )
 
         # --- agents + side outputs ---
         self.renderer = Renderer(
@@ -234,7 +269,7 @@ class SLAMSystem:
         self.tracker = Tracker(
             cfg, self.cam, self.rcfg, self.scene_cfg.bound,
             self.tsdf_volume_track, self.tsdf_bnds,
-            ray_sharding=self.ray_sharding,
+            ray_sharding=self.track_sharding,
         )
         self.mesher = Mesher(cfg, self.cam, self.scene_cfg.bound, self.tsdf_bnds)
         self.logger = Logger(os.path.join(self.output, "ckpts"), self.verbose)
@@ -269,6 +304,25 @@ class SLAMSystem:
 
         cap = int(m.get("keyframe_capacity", max(8, self.n_img // self.keyframe_every + 4)))
         self.keyframes = KeyframeStore(cap, self.cam.H, self.cam.W)
+
+        # loop closure (framework extension, default off; slam/loop_closure.py)
+        from attentive_dfprior_tpu.slam.loop_closure import LoopCloser
+
+        lc_cfg = dict(cfg)
+        if bool(cfg["tracking"].get("gt_camera", False)) and (
+            (cfg.get("loop_closure") or {}).get("enable")
+            or (cfg.get("loop_closure") or {}).get("final_refine")
+        ):
+            # re-localizing ground-truth poses can only perturb them
+            print(
+                "[system] loop_closure disabled: tracking.gt_camera is set"
+            )
+            lc_cfg = {**cfg, "loop_closure": {}}
+        self.loop_closer = LoopCloser(
+            lc_cfg, self.tracker, self.keyframes, self.cam, self.rcfg,
+            self.scene_cfg.bound, self.tsdf_volume_track, self.tsdf_bnds,
+            log_fn=self._log_metrics,
+        )
 
         self.estimate_c2w_list = np.zeros((self.n_img, 4, 4), dtype=np.float32)
         self.gt_c2w_list = np.zeros((self.n_img, 4, 4), dtype=np.float32)
@@ -471,6 +525,27 @@ class SLAMSystem:
         ) and idx not in self.keyframes.frame_idx:
             with self._kf_lock:
                 self.keyframes.add(idx, color, depth, c2w, gt_c2w)
+
+        # revisit-gated global keyframe relaxation (loop_closure.enable;
+        # framework extension — slam/loop_closure.py)
+        if self.loop_closer.enable:
+            key_lc = self._map_key if self._map_key is not None else self.key
+            # re-localization runs the tracker's jitted scan, so under
+            # parallel.split the scene must be snapshotted onto the
+            # tracker's mesh first (same transport as the async publish)
+            params_lc = (
+                self._snapshot_for_tracker()
+                if self.track_mesh is not self.mesh
+                else self.params
+            )
+            key_lc = self.loop_closer.maybe_relax(
+                idx, np.asarray(depth), c2w, self.estimate_c2w_list,
+                params_lc, key_lc, kf_lock=self._kf_lock,
+            )
+            if self._map_key is not None:
+                self._map_key = key_lc
+            else:
+                self.key = key_lc
         self._mapped_first = True
         if self.verbose:
             print(f"Mapping frame {idx}  losses={losses}")
@@ -527,6 +602,13 @@ class SLAMSystem:
                             idx, color, depth,
                             self.estimate_c2w_list[idx], gt_c2w, first=False,
                         )
+                if idx == n - 1 and self.loop_closer.final_refine_on:
+                    # re-localize the whole trajectory against the final
+                    # map BEFORE the last side outputs write the ckpt
+                    self.key = self.loop_closer.final_refine(
+                        self.dataset, self.estimate_c2w_list, self.params,
+                        self.key, start_idx, n,
+                    )
                 self._side_outputs(idx, n)
             return self.estimate_c2w_list
 
@@ -550,6 +632,27 @@ class SLAMSystem:
             print(f"Tracking frame {idx}  loss={loss:.3f}")
         self._log_metrics({"event": "track", "idx": int(idx), "loss": float(loss)})
 
+    def _snapshot_for_tracker(self):
+        """Independent scene snapshot for the tracker thread.
+
+        Same-mesh: a plain copy (the next mapping donates self.params'
+        buffers). Split meshes (parallel.split): a cross-mesh device_put
+        replicating the scene onto the tracker's devices — the copy IS the
+        publish transport, and the tracker's device work then overlaps the
+        mapper's for real.
+        """
+        if self.track_mesh is not None and self.track_mesh is not self.mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.track_mesh, P())
+            snap = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sh), self.params
+            )
+        else:
+            snap = jax.tree_util.tree_map(jnp.copy, self.params)
+        jax.block_until_ready(snap)
+        return snap
+
     def _run_async(self, start_idx: int, n: int, sync: str):
         """loose/free: mapper worker thread + published scene snapshots."""
         import queue
@@ -560,8 +663,7 @@ class SLAMSystem:
         # job donates self.params' buffers (mapping_stage donate_argnums), so
         # the seed snapshot is an independent copy too — on resume
         # (start_idx > 0) the tracker starts from it before any map job runs.
-        seed_snap = jax.tree_util.tree_map(jnp.copy, self.params)
-        jax.block_until_ready(seed_snap)
+        seed_snap = self._snapshot_for_tracker()
         state = {
             "published": seed_snap,  # latest snapshot for the tracker
             # resume: treat everything before start_idx as already mapped so
@@ -609,8 +711,7 @@ class SLAMSystem:
                         )
                         continue
                     t0 = time.time()
-                    snap = jax.tree_util.tree_map(jnp.copy, self.params)
-                    jax.block_until_ready(snap)
+                    snap = self._snapshot_for_tracker()
                     publish_s = time.time() - t0
                     with pub_cv:
                         state["published"] = snap
@@ -676,14 +777,18 @@ class SLAMSystem:
                                 # the final publish was skipped; the worker
                                 # is idle (no jobs pending) so self.params
                                 # is stable — snapshot it for side outputs
-                                snap = jax.tree_util.tree_map(
-                                    jnp.copy, self.params
-                                )
-                                jax.block_until_ready(snap)
+                                snap = self._snapshot_for_tracker()
                                 with pub_cv:
                                     state["published"] = snap
                                     state["published_idx"] = idx
                                     state["consumed"] = False
+                if idx == n - 1 and self.loop_closer.final_refine_on:
+                    # the worker is idle here (last map job completed and
+                    # awaited above), so the published snapshot is final
+                    self._track_key = self.loop_closer.final_refine(
+                        self.dataset, self.estimate_c2w_list, snapshot(),
+                        self._track_key, start_idx, n,
+                    )
                 self._side_outputs(idx, n, params=snapshot())
         finally:
             jobs.put(None)

@@ -159,6 +159,48 @@ VARIANTS = {
         "cam.cx": 159.5, "cam.cy": 119.5,
         "tracking.iters": 20, "tracking.lr_final_factor": 0.1,
     },
+    # round-5 loop-closure stage (slam/loop_closure.py) on top of the
+    # adopted r04 config (room_tracking.yaml already carries BA + hires +
+    # iters20 + decay01). Targets the residual 15-20 cm excursions.
+    "lc_refine": {"loop_closure.final_refine": True},
+    "lc_relax": {
+        "loop_closure.enable": True,
+        "loop_closure.every": 15,
+        "loop_closure.min_gap": 15,
+    },
+    "lc_full": {
+        "loop_closure.enable": True,
+        "loop_closure.final_refine": True,
+        "loop_closure.every": 15,
+        "loop_closure.min_gap": 15,
+    },
+    # refine with a deeper budget (60 iters vs the tracker's 20)
+    "lc_refine60": {
+        "loop_closure.final_refine": True,
+        "loop_closure.refine_iters": 60,
+    },
+    # fresh same-code baseline: the adopted r04 config untouched (the
+    # round-5 kernel + Adam exactness changes shift trajectories, so LC
+    # variants must not be compared against r04-era numbers)
+    "adopted": {},
+    # Adam's normalized steps bound the total correction to
+    # ~iters x lr meters; 20 x 1.5 mm = 3 cm cannot fix a 15-20 cm
+    # excursion (measured: lc_refine moved poses 0.8 cm mean). The strong
+    # variant budgets ~1 m of capacity and lets min-loss candidate
+    # selection keep the best pose along the way.
+    "lc_refine_strong": {
+        "loop_closure.final_refine": True,
+        "loop_closure.refine_iters": 100,
+        "loop_closure.lr": 0.01,
+    },
+    "lc_full_strong": {
+        "loop_closure.enable": True,
+        "loop_closure.every": 15,
+        "loop_closure.min_gap": 15,
+        "loop_closure.final_refine": True,
+        "loop_closure.refine_iters": 100,
+        "loop_closure.lr": 0.01,
+    },
 }
 
 

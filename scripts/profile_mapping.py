@@ -154,10 +154,26 @@ def main():
 
         return run
 
-    results["full_iter_color"] = slope_time(
-        "full_iter_color", make_full,
-        (params, frames_color, frames_depth, frames_c2w, tsdf),
-    )
+    # The legacy plain-(X,Y,Z)-volume full iteration reproducibly faults
+    # the chip when its graph contains the Pallas halo-fold VJP (isolated
+    # 2026-08-21: rows-volume graphs + the same kernel are stable, incl.
+    # under 8 GB HBM ballast; minimal big-temp+kernel repros do NOT fault —
+    # an XLA/Mosaic interaction specific to this graph). The row is a
+    # LAYOUT comparison, so pin it to the pure-XLA bitfold VJP explicitly.
+    import os as _os
+
+    _prev_vjp = _os.environ.get("DFPRIOR_TRILINEAR_VJP")
+    _os.environ["DFPRIOR_TRILINEAR_VJP"] = "bitfold"
+    try:
+        results["full_iter_color"] = slope_time(
+            "full_iter_color", make_full,
+            (params, frames_color, frames_depth, frames_c2w, tsdf),
+        )
+    finally:
+        if _prev_vjp is None:
+            _os.environ.pop("DFPRIOR_TRILINEAR_VJP", None)
+        else:
+            _os.environ["DFPRIOR_TRILINEAR_VJP"] = _prev_vjp
 
     # ---- forward-only loss ----
     def make_fwd(n):

@@ -98,3 +98,94 @@ class TestRenderRays:
         assert np.isfinite(g).all()
         assert np.abs(g).sum() > 0
         assert np.isfinite(np.asarray(g_ro)).all()
+
+
+class TestImportanceSampling:
+    """N_importance > 0 (ref: src/utils/Renderer.py:223-252 — dead code in
+    every shipped reference config, and buggy when enabled: it re-evaluates
+    the OLD coarse points after resampling). Our renderer evaluates the
+    RESAMPLED points (the intended hierarchical-sampling behavior,
+    render/renderer.py:159-184); these tests pin that deviation."""
+
+    def _setup(self, n_importance):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        params, tsdf, tsdf_bnds, bound, _ = ge._tiny_scene()
+        rcfg = RenderConfig(
+            N_samples=16, N_surface=8, N_importance=n_importance, perturb=0.0
+        )
+        R = 16
+        rays_o = jnp.zeros((R, 3))
+        d = np.zeros((R, 3), np.float32)
+        d[:, 2] = -1
+        gt = jnp.full((R,), 0.7)
+        return params, tsdf, tsdf_bnds, bound, rcfg, rays_o, jnp.asarray(d), gt
+
+    def test_shapes_and_finiteness(self):
+        p, tsdf, tb, bound, rcfg, ro, rd, gt = self._setup(8)
+        fn = jax.jit(functools.partial(render_rays, stage="color", rcfg=rcfg))
+        depth, var, color, att = fn(p, ro, rd, gt, tsdf, tb, bound)
+        R, S = 16, rcfg.N_samples + rcfg.N_surface + rcfg.N_importance
+        assert depth.shape == (R,) and color.shape == (R, 3)
+        # att weights come from the FINE evaluation: S + N_importance wide
+        assert att.shape == (R, S)
+        for x in (depth, var, color, att):
+            assert np.isfinite(np.asarray(x)).all()
+
+    def test_fine_pass_evaluates_resampled_points(self):
+        """The documented bug-fix deviation: with the reference's dead-code
+        semantics (re-evaluating the coarse points) the importance render
+        would EQUAL the coarse render; ours must differ because the fine
+        pass actually integrates the extra samples."""
+        p, tsdf, tb, bound, _, ro, rd, gt = self._setup(0)
+        coarse_cfg = RenderConfig(
+            N_samples=16, N_surface=8, N_importance=0, perturb=0.0
+        )
+        fine_cfg = RenderConfig(
+            N_samples=16, N_surface=8, N_importance=8, perturb=0.0
+        )
+        key = jax.random.PRNGKey(5)
+        d0, _, c0, _ = render_rays(
+            p, ro, rd, gt, tsdf, tb, bound, "color", coarse_cfg, key=key
+        )
+        d1, _, c1, _ = render_rays(
+            p, ro, rd, gt, tsdf, tb, bound, "color", fine_cfg, key=key
+        )
+        assert not np.allclose(np.asarray(d0), np.asarray(d1)), (
+            "importance pass returned the coarse render — the fine "
+            "evaluation is not integrating the resampled points"
+        )
+        # but it must stay a refinement, not a different scene
+        assert float(np.abs(np.asarray(d0) - np.asarray(d1)).max()) < 0.1
+
+    def test_det_resampling_is_deterministic_and_in_range(self):
+        """perturb == 0 -> det=True in sample_pdf: two renders with
+        DIFFERENT keys must agree exactly, and the resampled depths must
+        stay inside the coarse z range."""
+        p, tsdf, tb, bound, rcfg, ro, rd, gt = self._setup(8)
+        fn = jax.jit(functools.partial(render_rays, stage="color", rcfg=rcfg))
+        d1, _, _, _ = fn(p, ro, rd, gt, tsdf, tb, bound, key=jax.random.PRNGKey(1))
+        d2, _, _, _ = fn(p, ro, rd, gt, tsdf, tb, bound, key=jax.random.PRNGKey(2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        assert (np.asarray(d1) >= 0).all()
+        assert np.asarray(d1).max() <= 1.2 * 0.7 + 1e-5
+
+    def test_weights_consistency_sample_pdf_targets_mass(self):
+        """sample_pdf with a concentrated weight histogram must place the
+        resampled z where the mass is (the weights-consistency contract of
+        the hierarchical sampler)."""
+        from attentive_dfprior_tpu.ops.rays import sample_pdf
+
+        R = 4
+        bins = jnp.tile(jnp.linspace(0.0, 1.0, 17)[None, :], (R, 1))
+        w = jnp.zeros((R, 16)).at[:, 8].set(100.0) + 1e-5
+        s = sample_pdf(jax.random.PRNGKey(0), bins, w, 12, det=True)
+        s = np.asarray(s)
+        # bin 8 spans [0.5, 0.5625]: nearly all mass -> all samples except
+        # the two det-mode endpoints (u = linspace(0, 1, N) inclusive maps
+        # u=0 / u=1 to the CDF ends, like torch's sample_pdf)
+        frac_in = ((s >= 0.5 - 1e-4) & (s <= 0.5625 + 1e-4)).mean()
+        assert frac_in >= 10.0 / 12.0 - 1e-6
