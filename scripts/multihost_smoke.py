@@ -219,6 +219,10 @@ def _slam_traj_and_losses(tag: str):
         default_config_path(),
     )
     cfg["data"]["n_frames"] = 21
+    # real tracking needs per-frame motion inside the render-tracker's
+    # regime; room.yaml's 360-degree arc over 21 frames (17 deg/frame)
+    # would diverge on any topology
+    cfg["data"]["arc_degrees"] = 10
     cfg["cam"].update(H=36, W=48, fx=36.0, fy=36.0, cx=23.5, cy=17.5)
     cfg["mapping"].update(
         iters=8, iters_first=8, pixels=64, every_frame=5, keyframe_every=5,
