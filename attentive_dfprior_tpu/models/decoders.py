@@ -35,6 +35,7 @@ from attentive_dfprior_tpu.ops.grid_sample import (
     TSDFRows,
     normalize_3d_coordinate,
     sample_feature_grid,
+    sample_feature_grid_pair,
     trilinear_sample_rows,
 )
 
@@ -308,8 +309,18 @@ def df_forward(
         return raw, jnp.ones((n,), dtype=low_occ.dtype)
 
     # high decoder concatenates its own feature with a stop-gradient low
-    # feature (ref: decoder.py:182-187).
-    c_high = sample_feature_grid(grids["grid_high"], p, bound)
+    # feature (ref: decoder.py:182-187). In the color stage the high and
+    # color grids (same shape in every shipped config) are sampled as a
+    # FUSED pair: one doubled-width cell scatter + fold in the backward
+    # halves the row-serial scatter cost of the two grid VJPs
+    # (ops/grid_sample.py:trilinear_sample_pair).
+    c_color = None
+    if stage == "color":
+        c_high, c_color = sample_feature_grid_pair(
+            grids["grid_high"], grids["grid_color"], p, bound
+        )
+    else:
+        c_high = sample_feature_grid(grids["grid_high"], p, bound)
     c_high = jnp.concatenate([c_high, jax.lax.stop_gradient(c_low)], axis=-1)
     high_occ = _decoder_eval(params["high"], p, c_high, fused)
     f_add_m_occ = high_occ + low_occ
@@ -327,8 +338,7 @@ def df_forward(
         raw = jnp.zeros((n, 4), dtype=new_occ.dtype).at[:, 3].set(new_occ)
         return raw, w
 
-    # color stage
-    c_color = sample_feature_grid(grids["grid_color"], p, bound)
+    # color stage (c_color pre-sampled by the fused pair above)
     rgb_occ = _decoder_eval(params["color"], p, c_color, fused)  # (N, 4)
     raw = jnp.concatenate([rgb_occ[:, :3], new_occ[:, None]], axis=-1)
     return raw, w

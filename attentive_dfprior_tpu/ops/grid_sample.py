@@ -498,6 +498,114 @@ trilinear_sample_halo.defvjp(_halo_fwd, _halo_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused same-shape pair sampling (high + color grids) — round-5 follow-up
+# ---------------------------------------------------------------------------
+#
+# The color-stage mapping step samples grid_high and grid_color at the SAME
+# points (models/decoders.py:df_forward); both grids share grid_len 0.16 in
+# every shipped config (reference included), hence identical (NX, NY, NZ).
+# XLA's scatter-add is row-serial (~14 ns/row regardless of row width —
+# scripts/bench_scatter.py), so scattering BOTH cotangents as one
+# (nvox, 16C)-wide row halves the dominant row-serial cost of the two cell
+# scatters, and the bit-fold runs once at doubled width (same total bytes).
+# The fold kernels generalize unchanged: the corner index stays
+# lexicographic-major over a 2C channel block [grad_a | grad_b].
+#
+# Reference counterpart: the two independent cuDNN grid_sample backwards of
+# ref src/conv_onet/models/decoder.py:168-175 (fine + color decoders).
+
+
+@jax.custom_vjp
+def trilinear_sample_pair(
+    grid_a: jnp.ndarray, grid_b: jnp.ndarray, p_norm: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample two same-shape grids at the same points with a FUSED grid
+    gradient: one (nvox, 16C) cell scatter + one doubled-width fold instead
+    of two independent (nvox, 8C) scatter+folds.
+
+    Args:
+        grid_a, grid_b: (NX, NY, NZ, C) — shapes must match.
+        p_norm: (N, 3) normalized coordinates.
+
+    Returns:
+        ((N, C), (N, C)) interpolated features.
+    """
+    return trilinear_sample(grid_a, p_norm), trilinear_sample(grid_b, p_norm)
+
+
+def _pair_fwd(grid_a, grid_b, p_norm):
+    return trilinear_sample_pair(grid_a, grid_b, p_norm), (
+        grid_a,
+        grid_b,
+        p_norm,
+    )
+
+
+def _pair_bwd(res, g):
+    grid_a, grid_b, p_norm = res
+    g_a, g_b = g
+    # point gradient through both gathers (DCE'd when poses are fixed)
+    _, pullback = jax.vjp(
+        lambda p: (
+            trilinear_sample(jax.lax.stop_gradient(grid_a), p),
+            trilinear_sample(jax.lax.stop_gradient(grid_b), p),
+        ),
+        p_norm,
+    )
+    (p_grad,) = pullback((g_a, g_b))
+
+    nx, ny, nz, C = grid_a.shape
+    joint_shape = (nx, ny, nz, 2 * C)
+    ct = jnp.concatenate([g_a, g_b], axis=1)  # (N, 2C)
+    cells = _cell_scatter(joint_shape, p_norm, ct)  # (nvox, 16C)
+    import os
+
+    impl = os.environ.get("DFPRIOR_TRILINEAR_VJP", "halo")
+    if impl == "halo":
+        from attentive_dfprior_tpu.ops.pallas.halo_fold_kernel import (
+            cell_fold_halo,
+        )
+
+        joint = cell_fold_halo(
+            cells,
+            joint_shape,
+            bx=8,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        joint = _cell_bitfold_grid_grad(joint_shape, cells)
+    return joint[..., :C], joint[..., C:], p_grad
+
+
+trilinear_sample_pair.defvjp(_pair_fwd, _pair_bwd)
+
+
+def sample_feature_grid_pair(
+    grid_a: jnp.ndarray,
+    grid_b: jnp.ndarray,
+    p: jnp.ndarray,
+    bound: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World-space fused pair sampling of two same-shape feature grids.
+
+    Falls back to two independent sample_feature_grid calls when the
+    shapes differ or a non-fold VJP impl is selected via
+    DFPRIOR_TRILINEAR_VJP (the fused path exists for the fold family
+    only; =xla/=cellstencil/... keep their per-grid semantics).
+    """
+    import os
+
+    impl = os.environ.get("DFPRIOR_TRILINEAR_VJP", "halo")
+    if grid_a.shape != grid_b.shape or impl not in ("halo", "bitfold"):
+        return (
+            sample_feature_grid(grid_a, p, bound),
+            sample_feature_grid(grid_b, p, bound),
+        )
+    p_norm = normalize_3d_coordinate(p, bound)
+    return trilinear_sample_pair(grid_a, grid_b, p_norm)
+
+
+# ---------------------------------------------------------------------------
 # Wide-row scalar-volume sampling (Z-row layout) — the TSDF-prior fast path
 # ---------------------------------------------------------------------------
 #

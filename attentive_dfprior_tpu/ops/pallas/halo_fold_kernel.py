@@ -101,6 +101,11 @@ def cell_fold_halo(
     """
     nx, ny, nz, C = grid_shape
     bx = min(bx, nx)
+    # VMEM guard: the doubled-width fused pair fold (C=64,
+    # ops/grid_sample.py:trilinear_sample_pair) doubles block bytes; shrink
+    # bx until the double-buffered cur block fits comfortably.
+    while bx > 1 and bx * ny * nz * 8 * C * 4 > 24 * 1024 * 1024:
+        bx //= 2
     B4 = cells.reshape(nx, ny, nz, 8 * C)
     kern = functools.partial(_kernel, bx, ny, nz, C)
     nblk = pl.cdiv(nx, bx)

@@ -180,3 +180,77 @@ def test_zpair_forward_bit_identical_on_non_channel_last_sizes():
             np.asarray(trilinear_sample_zpair(grid, p)),
             np.asarray(trilinear_sample(grid, p)),
         )
+
+
+class TestFusedPairSample:
+    """trilinear_sample_pair: the fused high+color grid VJP (one doubled-
+    width cell scatter + fold) must match two independent samples in value
+    and in every gradient, for both fold impls and on border points.
+
+    Reference counterpart: the two independent cuDNN grid_sample backwards
+    of ref src/conv_onet/models/decoder.py:168-175 (fine + color decoders).
+    """
+
+    def _check(self, impl, monkeypatch, shape=(7, 6, 5, 4), n=250, seed=0):
+        import os
+        from attentive_dfprior_tpu.ops.grid_sample import (
+            sample_feature_grid_pair,
+        )
+
+        monkeypatch.setenv("DFPRIOR_TRILINEAR_VJP", impl)
+        rng = np.random.default_rng(seed)
+        ga = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        gb = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        bound = jnp.asarray(
+            np.array([[-2.0, 3.0], [-1.0, 1.0], [0.0, 4.0]], np.float32)
+        )
+        lo, hi = np.asarray(bound)[:, 0], np.asarray(bound)[:, 1]
+        # include out-of-bound points (border clamp)
+        p = jnp.asarray(
+            (lo + rng.uniform(-0.2, 1.2, (n, 3)) * (hi - lo)).astype(
+                np.float32
+            )
+        )
+
+        def loss_pair(ga, gb, p):
+            a, b = sample_feature_grid_pair(ga, gb, p, bound)
+            return jnp.sum(jnp.sin(a)) + jnp.sum(b * b)
+
+        def loss_ref(ga, gb, p):
+            a = trilinear_sample(ga, normalize_3d_coordinate(p, bound))
+            b = trilinear_sample(gb, normalize_3d_coordinate(p, bound))
+            return jnp.sum(jnp.sin(a)) + jnp.sum(b * b)
+
+        va, vb = sample_feature_grid_pair(ga, gb, p, bound)
+        ra = trilinear_sample(ga, normalize_3d_coordinate(p, bound))
+        rb = trilinear_sample(gb, normalize_3d_coordinate(p, bound))
+        np.testing.assert_allclose(np.asarray(va), np.asarray(ra), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(rb), atol=1e-6)
+
+        g1 = jax.grad(loss_pair, argnums=(0, 1, 2))(ga, gb, p)
+        g0 = jax.grad(loss_ref, argnums=(0, 1, 2))(ga, gb, p)
+        for got, want in zip(g1, g0):
+            scale = float(jnp.abs(want).max()) + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(got) / scale, np.asarray(want) / scale, atol=3e-6
+            )
+
+    def test_halo(self, monkeypatch):
+        self._check("halo", monkeypatch)
+
+    def test_bitfold(self, monkeypatch):
+        self._check("bitfold", monkeypatch, seed=1)
+
+    def test_shape_mismatch_falls_back(self, monkeypatch):
+        from attentive_dfprior_tpu.ops.grid_sample import (
+            sample_feature_grid_pair,
+        )
+
+        monkeypatch.setenv("DFPRIOR_TRILINEAR_VJP", "halo")
+        rng = np.random.default_rng(2)
+        ga = jnp.asarray(rng.standard_normal((5, 4, 3, 2)).astype(np.float32))
+        gb = jnp.asarray(rng.standard_normal((7, 4, 3, 2)).astype(np.float32))
+        bound = jnp.asarray(np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32))
+        p = jnp.asarray(rng.uniform(-1, 1, (50, 3)).astype(np.float32))
+        a, b = sample_feature_grid_pair(ga, gb, p, bound)
+        assert a.shape == (50, 2) and b.shape == (50, 2)
