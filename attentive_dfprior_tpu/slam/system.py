@@ -655,8 +655,32 @@ class SLAMSystem:
 
     def _run_async(self, start_idx: int, n: int, sync: str):
         """loose/free: mapper worker thread + published scene snapshots."""
+        import contextlib
         import queue
         import threading
+
+        # Shared-MULTI-device mesh + two dispatching host threads is a
+        # collective-ordering hazard: mapping_stage and track_frame both
+        # carry a gradient psum over the same devices, and two programs
+        # whose per-device executions interleave deadlock the all-reduce
+        # rendezvous (measured on the 8-virtual-CPU mesh: 4 of 8 threads
+        # arrive, XLA aborts the process). Real device concurrency is the
+        # split-mesh configuration (parallel.split); on a shared mesh the
+        # agents' DEVICE work must serialize — which is what a single chip
+        # does physically anyway (ASYNC_r04's loose ~= strict note).
+        serialize = (
+            self.mesh is not None
+            and self.track_mesh is self.mesh
+            and len(self.mesh.devices.flat) > 1
+        )
+        dispatch_lock = threading.Lock() if serialize else None
+
+        def dispatch_guard():
+            return (
+                dispatch_lock
+                if dispatch_lock is not None
+                else contextlib.nullcontext()
+            )
 
         jobs: "queue.Queue" = queue.Queue()
         # The published snapshot must never alias self.params: every mapping
@@ -685,10 +709,11 @@ class SLAMSystem:
                     if job is None:
                         return
                     midx, mcolor, mdepth, mgt, first = job
-                    self._map_frame(
-                        midx, mcolor, mdepth,
-                        self.estimate_c2w_list[midx], mgt, first=first,
-                    )
+                    with dispatch_guard():
+                        self._map_frame(
+                            midx, mcolor, mdepth,
+                            self.estimate_c2w_list[midx], mgt, first=first,
+                        )
                     # Publish an independent snapshot: the next mapping
                     # donates self.params, which would invalidate buffers
                     # the tracker might still be reading. Publish-on-demand:
@@ -761,7 +786,10 @@ class SLAMSystem:
                         wait_until(
                             lambda: state["last_mapped"] >= idx - max_lag
                         )
-                    self._track_frame(idx, color, depth, gt_c2w, snapshot())
+                    with dispatch_guard():
+                        self._track_frame(
+                            idx, color, depth, gt_c2w, snapshot()
+                        )
                     if not np.isfinite(gt_c2w).all():
                         continue
                     if idx % self.every_frame == 0 or idx == n - 1:

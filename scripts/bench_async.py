@@ -32,7 +32,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_mode(sync: str, frames: int, out_root: str, parallel_cfg=None, tag=None):
+def run_mode(sync: str, frames: int, out_root: str, parallel_cfg=None, tag=None,
+             small=False):
     from attentive_dfprior_tpu.config import default_config_path, load_config
     from attentive_dfprior_tpu.slam.system import SLAMSystem
 
@@ -40,6 +41,27 @@ def run_mode(sync: str, frames: int, out_root: str, parallel_cfg=None, tag=None)
     cfg["seed"] = 0
     cfg["sync_method"] = sync
     cfg["data"]["n_frames"] = frames
+    if small:
+        # CPU-mesh runs: the hires production graph compiles for tens of
+        # minutes on the host backend; the split measurement is relative
+        # (plumbing + scheduling), so shrink to the multihost-smoke tiny
+        # workload (scripts/multihost_smoke.py:_slam_traj_and_losses)
+        cfg["data"]["arc_degrees"] = 10
+        cfg["cam"].update(H=36, W=48, fx=36.0, fy=36.0, cx=23.5, cy=17.5)
+        cfg["mapping"].update(
+            iters=8, iters_first=8, pixels=64, every_frame=5,
+            keyframe_every=5, color_refine=False, mesh_freq=10**6,
+            ckpt_freq=10**6, vis_freq=10**6, vis_inside_freq=10**6,
+            frustum_feature_selection=False, BA=False,
+        )
+        cfg["tracking"].update(
+            pixels=64, iters=4, ignore_edge_W=4, ignore_edge_H=4,
+            vis_freq=10**6, vis_inside_freq=10**6,
+        )
+        cfg["rendering"].update(N_samples=12, N_surface=4)
+        cfg["tsdf"]["voxel_size"] = 0.05
+        cfg["pretrained_decoders"]["low_high"] = ""
+        cfg["verbose"] = False
     if parallel_cfg is not None:
         cfg["parallel"] = parallel_cfg
     out = os.path.join(out_root, tag or sync)
@@ -88,16 +110,29 @@ def main():
     ap.add_argument("--out-root", default="/tmp/bench_async")
     ap.add_argument("--split", default=None,
                     help="'m,t' mapper/tracker device split — adds "
-                    "loose_split (+ a dp-parallel strict/loose pair) runs; "
-                    "launch with JAX_PLATFORMS=cpu and "
-                    "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
-                    "for the virtual mesh (VERDICT r04 item 3)")
+                    "loose_split (+ a dp-parallel strict/loose pair) runs "
+                    "and forces the (m+t)-virtual-CPU-device mesh (this "
+                    "image's sitecustomize ignores JAX_PLATFORMS=cpu in "
+                    "the env, so the script must switch platforms itself "
+                    "before backend init) (VERDICT r04 item 3)")
     args = ap.parse_args()
+
+    if args.split:
+        n_virt = sum(int(x) for x in args.split.split(","))
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_virt}"
+            ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     from attentive_dfprior_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     import jax
+
+    if args.split:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     # truthful relay mode before ANY timing (see bench.py module docstring)
@@ -113,13 +148,20 @@ def main():
         n = m + t
         dp = {"enable": True, "n_devices": n}
         split = {"enable": True, "split": {"map": m, "track": t}}
+        # each topology compiles fresh sharded graphs — run a warm rep
+        # first so the measured rep is steady-state, as with strict_warm
         reps += [
+            ("strict_dp_warm", "strict", dp),
+            ("loose_dp_warm", "loose", dp),
+            ("loose_split_warm", "loose", split),
             ("strict_dp", "strict", dp),
             ("loose_dp", "loose", dp),
             ("loose_split", "loose", split),
         ]
     for tag, sync, pcfg in reps:
-        rec = run_mode(sync, args.frames, args.out_root, pcfg, tag)
+        rec = run_mode(sync, args.frames, args.out_root, pcfg, tag,
+                       small=bool(args.split))
+        rec["small_workload"] = bool(args.split)
         results[tag] = rec
         print(json.dumps({tag: rec}), flush=True)
 

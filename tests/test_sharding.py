@@ -342,3 +342,21 @@ def test_slam_run_split_agents(tmp_path):
         poses[:, :3, 3] - poses1[:, :3, 3], axis=1
     ) * 100
     assert float(dt_cm.max()) < 20.0, f"split-agent run diverged: {dt_cm}"
+
+
+@pytest.mark.slow
+def test_slam_run_loose_shared_dp_mesh(tmp_path):
+    """loose mode + a SHARED multi-device dp mesh: the mapper worker and
+    tracker both dispatch psum-carrying programs over the same 8 devices.
+    Without the _run_async dispatch guard this deadlocks the all-reduce
+    rendezvous (measured: 4 of 8 threads arrive, XLA aborts the process);
+    with it the agents' device work serializes and the run completes."""
+    from attentive_dfprior_tpu.slam.system import SLAMSystem
+
+    cfg = _tiny_slam_cfg(str(tmp_path / "loose_dp"))
+    cfg["sync_method"] = "loose"
+    cfg["parallel"] = {"enable": True, "n_devices": 8}
+    slam = SLAMSystem(cfg, output=cfg["data"]["output"])
+    assert slam.track_mesh is slam.mesh  # shared-mesh configuration
+    poses = np.asarray(slam.run()).copy()
+    assert np.isfinite(poses[: cfg["data"]["n_frames"]]).all()
