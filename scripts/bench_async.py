@@ -185,11 +185,16 @@ def main():
             / max(results["loose_split"]["wall_s"], 1e-9), 3)
         summary["split_note"] = (
             "device-split agents (parallel.split) measured on the "
-            "8-VIRTUAL-CPU-device mesh: the virtual devices share the same "
-            "physical cores, so real device concurrency cannot show a "
-            "wall-clock win here — this validates plumbing + records "
-            "honest numbers; the design's win condition is real multi-chip "
-            "hardware (unavailable, one chip)"
+            "8-VIRTUAL-CPU-device mesh (tiny workload, steady-state reps "
+            "after per-topology warmup). Two caveats on any split win "
+            "here: virtual devices share host cores, and splitting 6+2 "
+            "also shrinks each program's collective participant count, "
+            "which is itself cheaper on the CPU backend — the clean "
+            "multi-chip win condition is real hardware (unavailable, one "
+            "chip). loose_dp runs under the shared-mesh dispatch lock "
+            "(slam/system.py:_run_async): without it, two host threads' "
+            "psum programs interleave on the same devices and deadlock "
+            "the all-reduce rendezvous (measured before the fix)"
         )
     payload = {"runs": results, "summary": summary,
                "when": time.strftime("%Y-%m-%d %H:%M:%S")}
