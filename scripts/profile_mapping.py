@@ -297,6 +297,36 @@ def main():
             (params[gk], pn, ct),
         )
 
+    # ---- fused high+color pair VJP (one doubled-width scatter+fold) ----
+    from attentive_dfprior_tpu.ops.grid_sample import trilinear_sample_pair
+
+    if params["grid_high"].shape == params["grid_color"].shape:
+        Cp = params["grid_high"].shape[-1]
+        ctp = jnp.ones((N, Cp), jnp.float32)
+
+        def make_pair(n):
+            def run(gh, gc, pn, ct):
+                def body(acc, k):
+                    pk = pn + 1e-7 * k
+                    _, vjp = jax.vjp(
+                        lambda a, b: trilinear_sample_pair(a, b, pk), gh, gc
+                    )
+                    ga, gb = vjp((ct, ct))
+                    return (acc[0] + ga, acc[1] + gb), ()
+
+                out, _ = jax.lax.scan(
+                    body, (jnp.zeros_like(gh), jnp.zeros_like(gc)),
+                    jnp.arange(n, dtype=jnp.float32),
+                )
+                return out
+
+            return run
+
+        results["scatter_bwd_pair_highcolor"] = slope_time(
+            "scatter_bwd_pair_highcolor", make_pair,
+            (params["grid_high"], params["grid_color"], pn, ctp),
+        )
+
     # ---- cell-stencil VJP internals for the big (high) grid ----
     # decides the next kernel: is the remaining backward cost the scatter,
     # the corner-major transpose, or the stencil adds?
