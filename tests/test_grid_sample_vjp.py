@@ -156,10 +156,10 @@ class TestCustomVJPVariants:
         self._check(variant, (4, 4, 4, 2), p, seed=6)
 
 
-def test_default_impl_is_bitfold():
-    """sample_feature_grid must route to the bit-fold production sampler
-    unless DFPRIOR_TRILINEAR_VJP overrides it (kept in sync with the
-    README env-switch table)."""
+def test_default_impl_is_known():
+    """DFPRIOR_TRILINEAR_VJP must name a known sampler impl (production
+    default is =halo, the Pallas halo-fold; =bitfold is the pure-XLA
+    fallback — kept in sync with the README env-switch table)."""
     import os
 
     assert os.environ.get("DFPRIOR_TRILINEAR_VJP", "bitfold") in (
